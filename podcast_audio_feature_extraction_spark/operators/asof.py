@@ -1,0 +1,149 @@
+"""Point-in-time / as-of join (SURVEY.md §2.3 J4, §4 physical strategy 1).
+
+For each left row at (key, ts) attach the latest right row with
+right.ts <= ts (or < ts) for the same key — the zero-temporal-leakage
+backfill merge: no feature at (conv_id, ts) may ever read a later ts.
+Analog of the reference's precompute-then-lookup
+(/root/reference/src/search/search.py:311-353).
+
+Spark has no native DataFrame as-of join; two plan-expressible strategies:
+
+1. **union-trick** (default): tag sides, unionByName, then
+   ``last(value, ignorenulls=True) OVER (PARTITION BY key ORDER BY ts, side)``
+   and keep left rows. ONE shuffle + one sort — the same data motion as a
+   sort-merge join, with AQE skew handling applicable. Best general choice.
+
+2. **cogrouped merge_asof**: ``left.groupBy(key).cogroup(right.groupBy(key))
+   .applyInPandas(pd.merge_asof ...)``. Two shuffles + Arrow transfer, but
+   each conversation is merged by pandas' O(n+m) galloping merge — wins when
+   right side is wide (many value columns) or per-key logic grows (e.g.
+   tolerance windows). Used for heavy keys after salt-split.
+
+Tie semantics: ``inclusive=True`` means a right row AT ts is visible
+(`<=`, matches ``pd.merge_asof(allow_exact_matches=True)`` and DuckDB
+``ASOF JOIN ... ON l.ts >= r.ts``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _as_list(x) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] = "conv_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    right_tie_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """As-of join via the union trick (strategy 1).
+
+    ``right_tie_cols``: deterministic ordering among right rows sharing a
+    ts (the *last* by this ordering wins), e.g. ``["turn_idx"]``.
+    """
+    keys = _as_list(on)
+    value_cols = value_cols or [c for c in right.columns if c not in keys + [ts_col]]
+    right_tie_cols = right_tie_cols or []
+
+    # side: right rows must sort before (inclusive) / after (exclusive)
+    # left rows at an equal ts so `last(..., ignorenulls)` sees exactly the
+    # legal right rows.
+    r_side, l_side = (0, 1) if inclusive else (1, 0)
+    tagged_r = right.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        *[F.col(c).cast("long").alias(f"__tie{i}") for i, c in enumerate(right_tie_cols)],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    tagged_l = left.select(
+        "*",
+        F.col(ts_col).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        *[F.lit(None).cast(tagged_r.schema[f"__tie{i}"].dataType).alias(f"__tie{i}") for i in range(len(right_tie_cols))],
+    )
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+
+    order = [F.col("__ts"), F.col("__side")] + [F.col(f"__tie{i}") for i in range(len(right_tie_cols))]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for c in value_cols:
+        unioned = unioned.withColumn(f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
+
+    out = unioned.filter(F.col("__side") == l_side)
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"__v_{c}"))
+    drop = ["__ts", "__side"] + [f"__v_{c}" for c in value_cols] + [f"__tie{i}" for i in range(len(right_tie_cols))]
+    return out.drop(*drop)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] = "conv_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """As-of join via cogrouped ``pd.merge_asof`` (strategy 2)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keys = _as_list(on)
+    value_cols = value_cols or [c for c in right.columns if c not in keys + [ts_col]]
+    right_sel = right.select(*keys, ts_col, *value_cols)
+
+    out_fields = list(left.schema.fields) + [
+        T.StructField(c, right_sel.schema[c].dataType, True) for c in value_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    left_cols = list(left.columns)
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        ldf = ldf.sort_values(ts_col, kind="mergesort")
+        if rdf.empty:
+            for c in value_cols:
+                ldf[c] = None
+            return ldf[[f.name for f in out_fields]]
+        rdf = rdf.sort_values(ts_col, kind="mergesort")
+        merged = pd.merge_asof(
+            ldf,
+            rdf[[ts_col] + value_cols],
+            on=ts_col,
+            allow_exact_matches=inclusive,
+            suffixes=("", "__r"),
+        )
+        return merged[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right_sel.groupBy(*keys))
+        .applyInPandas(merge, schema=out_schema)
+        .select(*left_cols, *value_cols)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] = "conv_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    inclusive: bool = True,
+    strategy: str = "union",
+    right_tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dispatch between the two physical as-of strategies."""
+    if strategy == "union":
+        return asof_join_union(left, right, on, ts_col, value_cols, right_tie_cols, inclusive)
+    if strategy == "cogroup":
+        return asof_join_cogroup(left, right, on, ts_col, value_cols, inclusive)
+    raise ValueError(f"unknown as-of strategy: {strategy!r}")

@@ -1,0 +1,148 @@
+"""Per-turn lag/lead + rolling-window functionals (SURVEY.md §2.5 W2/W7).
+
+Analog of the reference's 0.96 s-window / 0.48 s-hop eGeMAPS functionals
+(/root/reference/data/custom_FrameModeFunctionals.conf.inc:8-11) re-expressed
+in the turn domain: for each turn, aggregate text/tool/numeric descriptors
+over the trailing ``k`` turns of the same conversation.
+
+Everything here is native Spark SQL expressions — zero Python in the hot
+path; the whole block compiles into one Window physical operator per frame
+spec (one shuffle on conv_id, then whole-stage codegen).
+
+Parity notes (SURVEY.md §7 hard parts):
+- stddev is **population** (ddof=0) to match numpy's default std
+  (`stddev_pop`, not Spark's sample default).
+- all window specs order by (ts, turn_idx) — ties broken deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from podcast_audio_feature_extraction_spark.functions.time import ts_micros
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/null text -> 0."""
+    return F.size(F.filter(F.split(F.coalesce(col, F.lit("")), r"\s+"), lambda x: x != "")).cast("int")
+
+
+def turn_features(
+    df: DataFrame,
+    k: int = 5,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_col: str = "turn_idx",
+    val_col: str | None = "val",
+) -> DataFrame:
+    """Per-turn feature columns.
+
+    Adds scalar descriptors (token/char counts, tool flag), lag/lead
+    context (previous/next role, gap seconds), and trailing-``k``-turn
+    rolling functionals (mean / population-std / min / max of token count,
+    tool-use count, optional numeric ``val_col`` functionals).
+    """
+    order = Window.partitionBy(conv_col).orderBy(ts_col, tie_col)
+    trail = order.rowsBetween(-k, 0)
+
+    out = (
+        df.withColumn("token_cnt", token_count(F.col("text")))
+        .withColumn("char_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int"))
+        .withColumn("is_tool_use", F.col("tool").isNotNull().cast("int"))
+        .withColumn("prev_role", F.lag("role").over(order))
+        .withColumn("next_role", F.lead("role").over(order))
+        .withColumn(
+            "role_changed",
+            F.when(F.lag("role").over(order).isNull(), F.lit(1))
+            .otherwise((F.col("role") != F.lag("role").over(order)).cast("int")),
+        )
+        .withColumn(
+            "gap_s",
+            F.coalesce(
+                (ts_micros(ts_col) - ts_micros(F.lag(F.col(ts_col)).over(order))) / F.lit(1e6),
+                F.lit(0.0),
+            ),
+        )
+    )
+    out = (
+        out.withColumn("roll_token_mean", F.avg("token_cnt").over(trail))
+        .withColumn("roll_token_std", F.coalesce(F.stddev_pop("token_cnt").over(trail), F.lit(0.0)))
+        .withColumn("roll_token_min", F.min("token_cnt").over(trail))
+        .withColumn("roll_token_max", F.max("token_cnt").over(trail))
+        .withColumn("roll_tool_cnt", F.sum("is_tool_use").over(trail).cast("int"))
+        .withColumn("roll_role_changes", F.sum("role_changed").over(trail).cast("int"))
+    )
+    if val_col is not None and val_col in df.columns:
+        out = (
+            out.withColumn("roll_val_mean", F.avg(val_col).over(trail))
+            .withColumn("roll_val_std", F.coalesce(F.stddev_pop(val_col).over(trail), F.lit(0.0)))
+            .withColumn("roll_val_min", F.min(val_col).over(trail))
+            .withColumn("roll_val_max", F.max(val_col).over(trail))
+        )
+    return out
+
+
+FUNCTIONAL_COLS = [
+    "token_cnt",
+    "char_len",
+    "is_tool_use",
+    "role_changed",
+    "gap_s",
+    "roll_token_mean",
+    "roll_token_std",
+    "roll_token_min",
+    "roll_token_max",
+    "roll_tool_cnt",
+    "roll_role_changes",
+    "roll_val_mean",
+    "roll_val_std",
+    "roll_val_min",
+    "roll_val_max",
+]
+
+
+def assemble_functionals(df: DataFrame, cols: list[str] | None = None, out_col: str = "functionals") -> DataFrame:
+    """Pack the per-turn functional columns into one array<double> vector
+    (analog of the reference's 88-column functional row,
+    /root/reference/src/features/OpenSmileExtractor.py:47-53)."""
+    cols = cols or [c for c in FUNCTIONAL_COLS if c in df.columns]
+    return df.withColumn(out_col, F.array(*[F.col(c).cast("double") for c in cols]))
+
+
+def turn_features_sql(k: int = 5, src: str = "transcript", with_val: bool = True) -> str:
+    """DuckDB twin of :func:`turn_features` (oracle cross-check)."""
+    val_part = (
+        """,
+            avg(val) OVER trail                      AS roll_val_mean,
+            COALESCE(stddev_pop(val) OVER trail, 0.0) AS roll_val_std,
+            min(val) OVER trail                      AS roll_val_min,
+            max(val) OVER trail                      AS roll_val_max"""
+        if with_val
+        else ""
+    )
+    return f"""
+        WITH base AS (
+            SELECT *,
+                CAST(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '')) AS INT) AS token_cnt,
+                CAST(length(COALESCE(text, '')) AS INT) AS char_len,
+                CAST(tool IS NOT NULL AS INT) AS is_tool_use
+            FROM {src}
+        )
+        SELECT *,
+            lag(role) OVER ord  AS prev_role,
+            lead(role) OVER ord AS next_role,
+            CASE WHEN lag(role) OVER ord IS NULL THEN 1
+                 ELSE CAST(role <> lag(role) OVER ord AS INT) END AS role_changed,
+            COALESCE((epoch_us(ts) - epoch_us(lag(ts) OVER ord)) / 1e6, 0.0) AS gap_s,
+            avg(token_cnt) OVER trail                       AS roll_token_mean,
+            COALESCE(stddev_pop(token_cnt) OVER trail, 0.0) AS roll_token_std,
+            min(token_cnt) OVER trail                       AS roll_token_min,
+            max(token_cnt) OVER trail                       AS roll_token_max,
+            CAST(sum(is_tool_use) OVER trail AS INT)        AS roll_tool_cnt{val_part}
+        FROM base
+        WINDOW
+            ord AS (PARTITION BY conv_id ORDER BY ts, turn_idx),
+            trail AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                      ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)
+    """

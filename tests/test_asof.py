@@ -1,0 +1,68 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from podcast_audio_feature_extraction_spark.operators.asof import asof_join
+from podcast_audio_feature_extraction_spark.oracle.numpy_oracle import asof_np
+
+
+@pytest.fixture(scope="module")
+def asof_data(spark):
+    rng = np.random.default_rng(7)
+    keys = [f"k{i}" for i in range(8)]
+    left_rows, right_rows = [], []
+    for k in keys:
+        lt = np.sort(rng.integers(0, 10_000, size=60))
+        rt = np.sort(rng.integers(0, 10_000, size=25))
+        # force some exact-match timestamps to pin tie semantics
+        rt[:5] = lt[:5]
+        for t in lt:
+            left_rows.append((k, pd.Timestamp(int(t), unit="s")))
+        for i, t in enumerate(np.sort(rt)):
+            right_rows.append((k, pd.Timestamp(int(t), unit="s"), float(i), i))
+    lpdf = pd.DataFrame(left_rows, columns=["conv_id", "ts"])
+    rpdf = pd.DataFrame(right_rows, columns=["conv_id", "ts", "feat", "ridx"])
+    # key with no right rows at all
+    lpdf = pd.concat([lpdf, pd.DataFrame([("lonely", pd.Timestamp(5, unit="s"))], columns=["conv_id", "ts"])])
+    lsdf = spark.createDataFrame(lpdf)
+    rsdf = spark.createDataFrame(rpdf)
+    return lpdf, rpdf, lsdf, rsdf
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_asof_matches_merge_asof(spark, asof_data, strategy, inclusive):
+    lpdf, rpdf, lsdf, rsdf = asof_data
+    got = (
+        asof_join(
+            lsdf, rsdf, on="conv_id", ts_col="ts",
+            value_cols=["feat"], inclusive=inclusive, strategy=strategy,
+            right_tie_cols=["ridx"] if strategy == "union" else None,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = asof_np(lpdf, rpdf, value_cols=["feat"], inclusive=inclusive)
+    want = want.sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(want)
+    g = got["feat"].astype(float).to_numpy()
+    w = want["feat"].astype(float).to_numpy()
+    both_nan = np.isnan(g) & np.isnan(w)
+    assert (both_nan | (g == w)).all()
+
+
+def test_asof_no_temporal_leakage(spark, asof_data):
+    """Right rows strictly after a left ts must never affect its value."""
+    lpdf, rpdf, lsdf, rsdf = asof_data
+    base = asof_join(lsdf, rsdf, value_cols=["feat"], right_tie_cols=["ridx"]).toPandas()
+    # inject future right rows (after each key's max left ts)
+    fut = rpdf.copy()
+    fut["ts"] = fut["ts"] + pd.Timedelta(days=400)
+    fut["feat"] = 9999.0
+    rsdf2 = spark.createDataFrame(pd.concat([rpdf, fut], ignore_index=True))
+    with_future = asof_join(lsdf, rsdf2, value_cols=["feat"], right_tie_cols=["ridx"]).toPandas()
+    b = base.sort_values(["conv_id", "ts"], kind="mergesort")["feat"].to_numpy(dtype=float)
+    f = with_future.sort_values(["conv_id", "ts"], kind="mergesort")["feat"].to_numpy(dtype=float)
+    both_nan = np.isnan(b) & np.isnan(f)
+    assert (both_nan | (b == f)).all()
