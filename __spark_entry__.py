@@ -1,38 +1,320 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` is a Spark-first implementation of an operator
+from SURVEY.md §2; ``oracle_sql()[name]`` is its DuckDB twin over the same
+parquet views. Transcript-domain operators run over a transcript view
+derived deterministically from ``events`` (see
+podcast_audio_feature_extraction_spark/sources/events.py — defined once in
+both dialects).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from podcast_audio_feature_extraction_spark.operators.asof import asof_join
+from podcast_audio_feature_extraction_spark.operators.functionals import (
+    window_functionals,
+    window_functionals_sql,
+)
+from podcast_audio_feature_extraction_spark.operators.rolling import token_count, turn_features
+from podcast_audio_feature_extraction_spark.operators.segments import build_segments, build_segments_sql
+from podcast_audio_feature_extraction_spark.operators.sessionize import session_bounds, sessionize
+from podcast_audio_feature_extraction_spark.sources.events import TRANSCRIPT_SQL, load_transcript
+
+GAP_S = 1800.0
+ROLL_K = 5
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _utc(spark: SparkSession) -> None:
+    # all ts arithmetic assumes a UTC session; the driver's session may
+    # not be configured that way, and this conf is runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _with_transcript(sql: str) -> str:
+    return f"WITH transcript AS ({TRANSCRIPT_SQL}) {sql}"
+
+
+# --------------------------------------------------------------------------
+# transcript-domain queries (the engine's own operators)
+# --------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-cutoff sessionization (SURVEY §2.9)."""
+    _utc(spark)
+    t = load_transcript(spark, sf_dir)
+    return sessionize(t, gap_s=GAP_S).select("conv_id", "turn_idx", "ts", "session_id")
+
+
+def q_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates (A6/A8 analogs)."""
+    _utc(spark)
+    t = load_transcript(spark, sf_dir)
+    return session_bounds(sessionize(t, gap_s=GAP_S)).select(
+        "conv_id", "session_id", "session_start", "session_end", "n_turns", "n_roles", "duration_s"
+    )
+
+
+TURN_FEATURE_COLS = [
+    "conv_id",
+    "turn_idx",
+    "ts",
+    "token_cnt",
+    "char_len",
+    "is_tool_use",
+    "prev_role",
+    "next_role",
+    "role_changed",
+    "gap_s",
+    "roll_token_mean",
+    "roll_token_std",
+    "roll_token_min",
+    "roll_token_max",
+    "roll_tool_cnt",
+    "roll_val_mean",
+    "roll_val_std",
+    "roll_val_min",
+    "roll_val_max",
+]
+
+
+def q_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn lag/lead + rolling functionals (W2/W7/A1-turn-domain)."""
+    _utc(spark)
+    t = load_transcript(spark, sf_dir)
+    out = turn_features(t, k=ROLL_K, val_col="val")
+    # round running float aggregates: Spark and DuckDB accumulate in
+    # different orders/algorithms, identical only to ~1e-12 relative
+    for c in ("roll_token_mean", "roll_token_std", "roll_val_mean", "roll_val_std"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out.select(*TURN_FEATURE_COLS)
+
+
+def q_window_functionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window functionals over `val` (A1/W1: 120s window, 60s hop)."""
+    _utc(spark)
+    t = load_transcript(spark, sf_dir)
+    return window_functionals(t, "120 seconds", "60 seconds")
+
+
+def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment index table (W1/A6/A7/A10, index.py lifecycle)."""
+    _utc(spark)
+    t = load_transcript(spark, sf_dir)
+    return build_segments(t)
+
+
+def q_asof_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (J4): for each user turn, the latest assistant
+    feature at or before its ts."""
+    _utc(spark)
+    t = load_transcript(spark, sf_dir)
+    feats = t.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        "ts",
+        F.col("turn_idx").alias("feat_turn_idx"),
+        token_count(F.col("text")).alias("feat_token_cnt"),
+    )
+    # unique right rows per (conv_id, ts): last turn_idx wins (same rule in
+    # the DuckDB twin; ASOF JOIN is ambiguous under right-ts duplicates)
+    rn = Window.partitionBy("conv_id", "ts").orderBy(F.desc("feat_turn_idx"))
+    feats = feats.withColumn("__rn", F.row_number().over(rn)).filter(F.col("__rn") == 1).drop("__rn")
+    left = t.filter(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    return asof_join(
+        left, feats, on="conv_id", ts_col="ts",
+        value_cols=["feat_turn_idx", "feat_token_cnt"], right_tie_cols=["feat_turn_idx"],
+    ).select("conv_id", "turn_idx", "ts", "feat_turn_idx", "feat_token_cnt")
+
+
+# --------------------------------------------------------------------------
+# relational coverage queries (scans/filters/joins/aggs/top-k over TPC-H-ish)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation (A-class; P-class filter)."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_discount").between(0.02, 0.08))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tiebreak (T1/T2: TakeOrderedAndProject)."""
+    _utc(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+def q_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-semi join (J1/P1): customers having a big order."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.join(F.broadcast(big), c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring over documents (training-data pipeline op)."""
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int").alias("n_chars_obs"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6).alias("ttr"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (training-data pipeline op)."""
+    _utc(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "sessionize": q_sessionize,
+        "session_bounds": q_session_bounds,
+        "turn_features": q_turn_features,
+        "window_functionals": q_window_functionals,
+        "segments": q_segments,
+        "asof_backfill": q_asof_backfill,
+        "pricing_summary": q_pricing_summary,
+        "topk_orders": q_topk_orders,
+        "semijoin_customers": q_semijoin_customers,
+        "doc_stats": q_doc_stats,
+        "dedup_exact": q_dedup_exact,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    turn_features_inner = f"""
+        SELECT conv_id, turn_idx, ts, token_cnt, char_len, is_tool_use,
+               prev_role, next_role, role_changed, gap_s,
+               round(roll_token_mean, 6) AS roll_token_mean,
+               round(roll_token_std, 6)  AS roll_token_std,
+               roll_token_min, roll_token_max, roll_tool_cnt,
+               round(roll_val_mean, 6)   AS roll_val_mean,
+               round(roll_val_std, 6)    AS roll_val_std,
+               roll_val_min, roll_val_max
+        FROM (
+            {_inner_turn_features_sql()}
+        )
     """
-    return {}
+    return {
+        "sessionize": _with_transcript(
+            """SELECT conv_id, turn_idx, ts, session_id FROM ("""
+            + _sessionize_sql()
+            + """)"""
+        ),
+        "session_bounds": _with_transcript(
+            f"""
+            SELECT conv_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_turns, count(DISTINCT role) AS n_roles,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_s
+            FROM ({_sessionize_sql()})
+            GROUP BY conv_id, session_id
+            """
+        ),
+        "turn_features": _with_transcript(turn_features_inner),
+        "window_functionals": _with_transcript(window_functionals_sql(120, 60)),
+        "segments": _with_transcript(build_segments_sql(120, 60)),
+        "asof_backfill": _with_transcript(
+            """
+            , r0 AS (
+                SELECT conv_id, ts, turn_idx AS feat_turn_idx,
+                       CAST(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '')) AS INT) AS feat_token_cnt,
+                       row_number() OVER (PARTITION BY conv_id, ts ORDER BY turn_idx DESC) AS rn
+                FROM transcript WHERE role = 'assistant'
+            ), r AS (SELECT conv_id, ts, feat_turn_idx, feat_token_cnt FROM r0 WHERE rn = 1),
+            l AS (SELECT conv_id, turn_idx, ts FROM transcript WHERE role = 'user')
+            SELECT l.conv_id, l.turn_idx, l.ts, r.feat_turn_idx, r.feat_token_cnt
+            FROM l ASOF LEFT JOIN r ON l.conv_id = r.conv_id AND l.ts >= r.ts
+            """
+        ),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.02 AND 0.08
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "semijoin_customers": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "doc_stats": """
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+                   CAST(length(COALESCE(text, '')) AS INT) AS n_chars_obs,
+                   CAST(len(list_distinct(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> ''))) AS INT) AS n_unique_tokens,
+                   round(CAST(len(list_distinct(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> ''))) AS DOUBLE)
+                         / greatest(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '')), 1), 6) AS ttr
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+    }
+
+
+def _sessionize_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.sessionize import sessionize_sql
+
+    return sessionize_sql(GAP_S, src="transcript")
+
+
+def _inner_turn_features_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.rolling import turn_features_sql
+
+    return turn_features_sql(ROLL_K, src="transcript", with_val=True)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001: sessionize -> rolling
+    functionals -> hash embedding -> as-of backfill (driver checks rows>0)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.plans.backfill import flagship
+
+    t = load_transcript(spark, "/root/testdata/sf0.001")
+    return flagship(t, gap_s=GAP_S, k=ROLL_K)

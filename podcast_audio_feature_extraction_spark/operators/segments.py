@@ -1,0 +1,75 @@
+"""Segment index table (SURVEY.md §3.2 lifecycle; operators W1/A6/A7/A8/A10).
+
+Analog of the reference's Elasticsearch segment docs
+(/root/reference/src/search/index.py:17-36,55-110): 120 s windows stepped
+60 s over each conversation, each segment carrying the ordered
+concatenation of its words (index.py:90-91), a word-count length
+(index.py:34-35) and a distinct-speaker count (index.py:93-95), keyed
+``{conv_id}_{window_start_seconds}`` (index.py:66,81).
+
+Spark plan: ONE groupBy(conv_id, F.window(...)) — the overlapping-window
+grouping subsumes the reference's per-window interval scan. Ordered text
+aggregation uses sort_array(collect_list(struct(ts, turn_idx, text)))
+for the stable-(conv_id, turn_idx)-ordering invariant; collect_list alone
+is NOT order-deterministic under shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from podcast_audio_feature_extraction_spark.functions.time import ts_micros
+
+
+def build_segments(
+    df: DataFrame,
+    length: str = "120 seconds",
+    hop: str = "60 seconds",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    win = F.window(F.col(ts_col), length, hop)
+    ordered = F.sort_array(F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col("turn_idx"), F.col("text"))))
+    return (
+        df.groupBy(F.col(conv_col), win.alias("win"))
+        .agg(
+            F.array_join(F.transform(ordered, lambda s: s["text"]), " ").alias("seg_words"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count_distinct("role").alias("seg_speakers"),
+        )
+        .select(
+            F.concat_ws(
+                "_", F.col(conv_col), (ts_micros(F.col("win.start")) / F.lit(1_000_000)).cast("long").cast("string")
+            ).alias("seg_id"),
+            conv_col,
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "seg_words",
+            F.size(F.filter(F.split(F.col("seg_words"), r"\s+"), lambda x: x != "")).cast("int").alias("seg_length"),
+            "n_turns",
+            "seg_speakers",
+        )
+    )
+
+
+def build_segments_sql(length_s: int = 120, hop_s: int = 60, src: str = "transcript") -> str:
+    """DuckDB twin of :func:`build_segments`."""
+    n_shifts = length_s // hop_s
+    shifts = ", ".join(f"({i * hop_s})" for i in range(n_shifts))
+    return f"""
+        SELECT conv_id || '_' || CAST(CAST(epoch_us(win_start) / 1e6 AS BIGINT) AS VARCHAR) AS seg_id,
+               conv_id,
+               win_start,
+               win_start + INTERVAL {length_s} SECOND AS win_end,
+               string_agg(text, ' ' ORDER BY ts, turn_idx) AS seg_words,
+               CAST(len(list_filter(regexp_split_to_array(string_agg(text, ' ' ORDER BY ts, turn_idx), '\\s+'), x -> x <> '')) AS INT) AS seg_length,
+               count(*) AS n_turns,
+               count(DISTINCT role) AS seg_speakers
+        FROM (
+            SELECT t.*, make_timestamp((CAST(floor(epoch_us(ts) / 1e6 / {hop_s}) AS BIGINT) * {hop_s} - off.o) * 1000000) AS win_start
+            FROM {src} t CROSS JOIN (VALUES {shifts}) AS off(o)
+        )
+        WHERE epoch_us(ts) >= epoch_us(win_start)
+          AND epoch_us(ts) <  epoch_us(win_start) + {length_s} * 1000000
+        GROUP BY conv_id, win_start
+    """

@@ -70,12 +70,17 @@ def sessionize_sql(
     gap_s: float = 1800.0,
     src: str = "transcript",
 ) -> str:
-    """DuckDB-dialect twin of :func:`sessionize` (oracle cross-check)."""
+    """DuckDB-dialect twin of :func:`sessionize` (oracle cross-check).
+
+    Two levels because SQL window calls cannot nest (lag inside sum)."""
     return f"""
-        SELECT *,
-            CAST(SUM(CASE WHEN (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 > {gap_s} THEN 1 ELSE 0 END)
-                OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
-        FROM {src}
-        WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        SELECT * EXCLUDE (__is_new),
+            CAST(SUM(__is_new) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        FROM (
+            SELECT *,
+                CASE WHEN (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx))) / 1e6 > {gap_s}
+                     THEN 1 ELSE 0 END AS __is_new
+            FROM {src}
+        )
     """

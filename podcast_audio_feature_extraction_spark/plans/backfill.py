@@ -1,0 +1,78 @@
+"""Flagship pipeline (SURVEY.md §3.1 / §7.2): feature extraction + as-of backfill.
+
+transcripts
+  -> sessionize (gap cutoff)
+  -> per-turn rolling functionals (native window exprs)
+  -> deterministic hash embedding (Arrow pandas UDF)
+  -> feature table (conv_id, turn_idx, ts, session_id, functionals, embedding)
+  -> as-of backfill join onto a query/point-in-time frame (zero leakage)
+
+Mirrors the reference's create_opensmile_features.py lifecycle
+(/root/reference/src/features/create_opensmile_features.py:17-36) with
+Spark-native staging: one shuffle for the window pass (conv_id), one for
+the as-of union-trick. At 100 TB both shuffles hash-partition on conv_id;
+viral-conversation skew is bounded because every operator here is
+sequential *within* a conversation and AQE splits oversized partitions
+across the remaining stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from podcast_audio_feature_extraction_spark.functions.embedding import with_embedding
+from podcast_audio_feature_extraction_spark.operators.asof import asof_join
+from podcast_audio_feature_extraction_spark.operators.rolling import assemble_functionals, turn_features
+from podcast_audio_feature_extraction_spark.operators.sessionize import sessionize
+
+FEATURE_COLS = ["conv_id", "turn_idx", "ts", "session_id", "functionals", "embedding"]
+
+
+def build_feature_table(
+    transcripts: DataFrame,
+    gap_s: float = 1800.0,
+    k: int = 5,
+    embed_dim: int = 64,
+    val_col: str | None = "val",
+) -> DataFrame:
+    """transcripts -> per-turn feature table (the backfill right side)."""
+    df = sessionize(transcripts, gap_s=gap_s)
+    df = turn_features(df, k=k, val_col=val_col)
+    df = assemble_functionals(df)
+    df = with_embedding(df, dim=embed_dim)
+    return df.select(*FEATURE_COLS)
+
+
+def backfill_features(
+    frame: DataFrame,
+    feature_table: DataFrame,
+    strategy: str = "union",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Attach the latest feature vector at or before each frame row's ts.
+
+    ``frame`` needs (conv_id, ts); feature provenance columns are renamed
+    so they never collide with the frame's own.
+    """
+    right = (
+        feature_table.withColumnRenamed("turn_idx", "feat_turn_idx")
+        .withColumnRenamed("session_id", "feat_session_id")
+    )
+    return asof_join(
+        frame,
+        right,
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["feat_turn_idx", "feat_session_id", "functionals", "embedding"],
+        inclusive=inclusive,
+        strategy=strategy,
+        right_tie_cols=["feat_turn_idx"] if strategy == "union" else None,
+    )
+
+
+def flagship(transcripts: DataFrame, gap_s: float = 1800.0, k: int = 5) -> DataFrame:
+    """End-to-end: build features then backfill them onto the turns frame
+    itself (every turn gets the feature vector visible at its own ts)."""
+    feats = build_feature_table(transcripts, gap_s=gap_s, k=k)
+    frame = transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
+    return backfill_features(frame, feats)
