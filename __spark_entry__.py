@@ -201,6 +201,108 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rerank_topical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: global top-10 by rerank score over mood segments."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores, rerank_topical
+
+    t = load_transcript(spark, sf_dir)
+    return rerank_topical(mood_scores(t), num=10)
+
+
+def q_rerank_entertaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/U1: mood rerank with faithful no-dedup fallback union."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores, rerank_mood
+
+    t = load_transcript(spark, sf_dir)
+    return rerank_mood(mood_scores(t), "entertaining", num=10)
+
+
+def q_rerank_discussion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: mood rerank where enough segments pass (no fallback path)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores, rerank_mood
+
+    t = load_transcript(spark, sf_dir)
+    return rerank_mood(mood_scores(t), "discussion", num=10)
+
+
+def q_mood_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A5: per-segment threshold-count + composite mood metrics."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores
+
+    t = load_transcript(spark, sf_dir)
+    return mood_scores(t)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with Jaccard verification."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, jaccard_threshold=0.05)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (near-dup fingerprint)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.dedup import simhash_table
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_table(d)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs n-gram Jaccard (within source groups)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d).filter(F.col("jaccard") > 0)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (vec_id < 5)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed approximate cosine top-10 per query vector."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10, n_bits=4)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language-ID + BPE-ish token count + fingerprint."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.functions.text import (
+        bpe_token_count_col,
+        fingerprint_col,
+        lang_guess_col,
+        quality_cols,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in q.items()],
+        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
+        lang_guess_col(F.col("text")).alias("lang_guess"),
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize": q_sessionize,
@@ -214,6 +316,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semijoin_customers": q_semijoin_customers,
         "doc_stats": q_doc_stats,
         "dedup_exact": q_dedup_exact,
+        "mood_scores": q_mood_scores,
+        "rerank_topical": q_rerank_topical,
+        "rerank_entertaining": q_rerank_entertaining,
+        "rerank_discussion": q_rerank_discussion,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "text_quality": q_text_quality,
     }
 
 
@@ -295,7 +407,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "mood_scores": _with_transcript(_mood_scores_sql()),
+        "rerank_topical": _with_transcript(
+            f""", scores AS ({_mood_scores_sql()})
+            SELECT seg_id, rerank_score, rk FROM (
+                SELECT seg_id, rerank_score,
+                       CAST(row_number() OVER (ORDER BY rerank_score DESC, seg_id ASC) AS INT) AS rk
+                FROM scores
+            ) WHERE rk <= 10
+            """
+        ),
+        "rerank_entertaining": _with_transcript(_rerank_mood_sql("entertaining")),
+        "rerank_discussion": _with_transcript(_rerank_mood_sql("discussion")),
+        "dedup_minhash": "WITH documents_src AS (SELECT * FROM documents)"
+        + _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "ann_bruteforce": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("brute"),
+        "ann_lsh": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh"),
+        "text_quality": _text_quality_sql(),
     }
+
+
+def _mood_scores_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores_sql
+
+    return mood_scores_sql(120, 60, src="transcript")
+
+
+def _rerank_mood_sql(mood: str) -> str:
+    from podcast_audio_feature_extraction_spark.operators.rerank import rerank_mood_sql
+
+    return rerank_mood_sql(_mood_scores_sql(), mood, num=10)
+
+
+def _minhash_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    return minhash_lsh_pairs_sql(src="documents", jaccard_threshold=0.05)
+
+
+def _simhash_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.dedup import simhash_sql
+
+    return simhash_sql(src="documents")
+
+
+def _ngram_jaccard_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.dedup import SHINGLE_K
+
+    k = SHINGLE_K
+    toks = "list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')"
+    sh = (
+        f"list_distinct(CASE WHEN len({toks}) >= {k} THEN list_transform(range(len({toks}) - {k - 1}), "
+        f"i -> array_to_string({toks}[i+1:i+{k}], ' ')) ELSE [COALESCE(text,'')] END)"
+    )
+    return f"""
+        WITH __docs AS (SELECT source AS grp, doc_id, {sh} AS sh FROM documents)
+        SELECT a.grp, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        FROM __docs a JOIN __docs b ON a.grp = b.grp AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) > 0
+    """
+
+
+def _ann_sql(kind: str) -> str:
+    from podcast_audio_feature_extraction_spark.operators.similarity import brute_force_topk_sql, lsh_topk_sql
+
+    if kind == "brute":
+        return brute_force_topk_sql(dim=64, k=10, src="embeddings")
+    return lsh_topk_sql(dim=64, k=10, src="embeddings", n_bits=4)
+
+
+def _text_quality_sql() -> str:
+    from podcast_audio_feature_extraction_spark.functions.text import (
+        bpe_token_count_sql,
+        fingerprint_sql,
+        lang_guess_sql,
+        quality_sql,
+    )
+
+    q = quality_sql("text")
+    cols = ",\n               ".join(f"{expr} AS {name}" for name, expr in q.items())
+    return f"""
+        SELECT doc_id,
+               {cols},
+               {bpe_token_count_sql("text")} AS bpe_tokens,
+               {lang_guess_sql("text")} AS lang_guess,
+               {fingerprint_sql("text")} AS fingerprint
+        FROM documents
+    """
 
 
 def _sessionize_sql() -> str:

@@ -1,0 +1,116 @@
+"""Text-analysis functions for training-data pipelines: language-ID
+(stopword-overlap heuristic), quality scoring (length / punctuation /
+stopword / type-token ratios), BPE-ish token counting, and document
+fingerprinting (min-shingle-hash, i.e. winnowing with window = document).
+
+All native Spark SQL expressions with exact DuckDB twins — no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from podcast_audio_feature_extraction_spark.operators.dedup import shingles_col, tokens_col
+
+# tiny per-language stopword lists (heuristic language ID)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is", "in", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "je", "pas", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no", "que", "por"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+# BPE-ish pre-tokenizer: alnum runs or single non-alnum non-space chars
+BPE_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def lang_scores_cols(text_col: Column) -> dict[str, Column]:
+    toks = tokens_col(F.lower(text_col))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).cast("int")
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_guess_col(text_col: Column) -> Column:
+    """argmax over stopword-overlap scores; ties resolved by LANG_ORDER;
+    all-zero -> 'unknown'."""
+    scores = lang_scores_cols(text_col)
+    best = F.greatest(*scores.values())
+    guess = F.lit("unknown")
+    for lang in reversed(LANG_ORDER):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return F.when(best > 0, guess).otherwise(F.lit("unknown"))
+
+
+def lang_guess_sql(text_expr: str = "text") -> str:
+    toks = f"list_filter(regexp_split_to_array(lower(COALESCE({text_expr},'')), '\\s+'), x -> x <> '')"
+    scores = {lang: f"len(list_intersect({toks}, [{', '.join(repr(w) for w in words)}]))" for lang, words in STOPWORDS.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE "
+    for lang in LANG_ORDER:
+        case += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"CASE WHEN {best} > 0 THEN ({case}) ELSE 'unknown' END"
+
+
+def bpe_token_count_col(text_col: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.coalesce(text_col, F.lit("")), F.lit(BPE_PATTERN), 0)).cast("int")
+
+
+def bpe_token_count_sql(text_expr: str = "text") -> str:
+    return f"CAST(len(regexp_extract_all(COALESCE({text_expr},''), '{BPE_PATTERN}')) AS INT)"
+
+
+def quality_cols(text_col: Column, round_digits: int = 6) -> dict[str, Column]:
+    """Quality-scoring features: token/char counts, mean token length,
+    stopword ratio (en), type-token ratio, punctuation ratio."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    chars = F.length(F.coalesce(text_col, F.lit("")))
+    en_stop = F.size(F.array_intersect(F.transform(toks, F.lower), F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    punct = F.size(F.regexp_extract_all(F.coalesce(text_col, F.lit("")), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    return {
+        "n_tokens": n.cast("int"),
+        "n_chars": chars.cast("int"),
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / safe_n, round_digits
+        ),
+        "stopword_ratio": F.round(en_stop / safe_n.cast("double"), round_digits),
+        "type_token_ratio": F.round(F.size(F.array_distinct(toks)) / safe_n.cast("double"), round_digits),
+        "punct_ratio": F.round(punct / F.greatest(chars, F.lit(1)).cast("double"), round_digits),
+    }
+
+
+def quality_sql(text_expr: str = "text", round_digits: int = 6) -> dict[str, str]:
+    toks = f"list_filter(regexp_split_to_array(COALESCE({text_expr},''), '\\s+'), x -> x <> '')"
+    n = f"len({toks})"
+    safe_n = f"greatest({n}, 1)"
+    chars = f"length(COALESCE({text_expr},''))"
+    en = "[" + ", ".join(repr(w) for w in STOPWORDS["en"]) + "]"
+    return {
+        "n_tokens": f"CAST({n} AS INT)",
+        "n_chars": f"CAST({chars} AS INT)",
+        "mean_token_len": f"round(list_sum(list_transform({toks}, t -> CAST(length(t) AS DOUBLE))) / {safe_n}, {round_digits})",
+        "stopword_ratio": f"round(CAST(len(list_intersect(list_transform({toks}, t -> lower(t)), {en})) AS DOUBLE) / {safe_n}, {round_digits})",
+        "type_token_ratio": f"round(CAST(len(list_distinct({toks})) AS DOUBLE) / {safe_n}, {round_digits})",
+        "punct_ratio": f"round(CAST(len(regexp_extract_all(COALESCE({text_expr},''), '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest({chars}, 1), {round_digits})",
+    }
+
+
+def fingerprint_col(text_col: Column, k: int = 3) -> Column:
+    """Document fingerprint: min md5 over k-token shingles (winnowing with
+    a document-wide window — stable under shingle reordering)."""
+    return F.array_min(F.transform(shingles_col(text_col, k), F.md5))
+
+
+def fingerprint_sql(text_expr: str = "text", k: int = 3) -> str:
+    toks = f"list_filter(regexp_split_to_array(COALESCE({text_expr},''), '\\s+'), x -> x <> '')"
+    sh = (
+        f"CASE WHEN len({toks}) >= {k} THEN list_transform(range(len({toks}) - {k - 1}), "
+        f"i -> array_to_string({toks}[i+1:i+{k}], ' ')) ELSE [COALESCE({text_expr},'')] END"
+    )
+    return f"list_aggregate(list_transform(list_distinct({sh}), s -> md5(s)), 'min')"

@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+self-join -> Jaccard verify), SimHash (60-bit, hamming-distance pairs),
+and n-gram Jaccard similarity. All hot paths are native Spark SQL
+expressions (md5 / higher-order array functions) — JVM-side, no Python.
+
+Portability contract with the DuckDB oracle: every hash is md5-hex (both
+engines produce identical digests); minhash = lexicographic MIN over hex
+strings; 60-bit integer hashes parse the first 15 md5 hex chars
+(Spark ``conv(h,16,10)``, DuckDB ``CAST('0x'||h AS BIGINT)``).
+
+Scale notes: the LSH band self-join shuffles on band_key — banding bounds
+bucket sizes, and Jaccard verification touches only candidate pairs
+(never the n^2 cross join). At 100 TB add a bucket-size cap
+(count per band_key, drop degenerate buckets) before the self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SHINGLE_K = 3
+
+
+def tokens_col(text_col: Column) -> Column:
+    return F.filter(F.split(F.coalesce(text_col, F.lit("")), r"\s+"), lambda x: x != "")
+
+
+def shingles_col(text_col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles; texts with < k tokens fall back to the
+    whole text as a single shingle."""
+    toks = tokens_col(text_col)
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= k, kgrams).otherwise(F.array(F.coalesce(text_col, F.lit(""))))
+    )
+
+
+def minhash_col(shingles: Column, n_hashes: int = 12) -> Column:
+    """n_hashes permutations approximated by seed-prefixed md5; the
+    lexicographic min over hex digests is a valid uniform minhash."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))),
+    )
+
+
+def jaccard_col(a: Column, b: Column, round_digits: int = 6) -> Column:
+    return F.round(
+        F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b)).cast("double"), round_digits
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    band_size: int = 3,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified by exact shingle Jaccard.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, distinct.
+    """
+    n_bands = n_hashes // band_size
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col)).alias("shingles"),
+    ).withColumn("minhashes", minhash_col(F.col("shingles"), n_hashes))
+
+    bands = docs.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(F.array_join(F.slice(F.col("minhashes"), b * band_size + 1, band_size), "|")),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band_idx", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    band_size: int = 3,
+    jaccard_threshold: float = 0.2,
+    k: int = SHINGLE_K,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs` (embed after WITH ... or
+    standalone prefixed by WITH)."""
+    n_bands = n_hashes // band_size
+    return f"""
+        , __docs AS (
+            SELECT {id_col} AS doc_id,
+                   list_distinct(
+                     CASE WHEN len(list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')) >= {k}
+                          THEN list_transform(
+                                 range(len(list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')) - {k - 1}),
+                                 i -> array_to_string(list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')[i+1:i+{k}], ' '))
+                          ELSE [COALESCE(text,'')] END) AS shingles
+            FROM {src}
+        ),
+        __mh AS (
+            SELECT doc_id, shingles,
+                   list_transform(range({n_hashes}),
+                       i -> list_aggregate(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS minhashes
+            FROM __docs
+        ),
+        __bands AS (
+            SELECT doc_id, shingles, b.range AS band_idx,
+                   md5(array_to_string(minhashes[b.range * {band_size} + 1 : b.range * {band_size} + {band_size}], '|')) AS band_key
+            FROM __mh CROSS JOIN range({n_bands}) b
+        ),
+        __cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   first(a.shingles) AS sh_a, first(b.shingles) AS sh_b
+            FROM __bands a JOIN __bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / len(list_distinct(sh_a || sh_b)), 6) AS jaccard
+        FROM __cand
+        WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                    / len(list_distinct(sh_a || sh_b)), 6) >= {jaccard_threshold}
+    """
+
+
+def hash60_col(tok: Column) -> Column:
+    """Portable 60-bit token hash: first 15 md5 hex chars as integer."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash_col(text_col_name: str, bits: int = 60) -> Column:
+    """SimHash: bit j set iff the majority of token hashes have bit j set
+    (strictly more set than unset).
+
+    Built as a Spark-SQL expression string: the PySpark ``shiftleft``/
+    ``shiftright`` wrappers only take literal shift amounts, but the SQL
+    functions accept expressions (the lambda variable ``j``).
+    """
+    toks = f"filter(split(coalesce({text_col_name}, ''), '\\\\s+'), x -> x != '')"
+    hashes = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    bit_j = (
+        f"CASE WHEN 2 * size(filter({hashes}, h -> (shiftright(h, j) & 1) = 1)) > size({toks}) "
+        f"THEN cast(1 as bigint) ELSE cast(0 as bigint) END"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + shiftleft({bit_j}, j))"
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"), simhash_col(text_col).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 24,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
+    (LSH-style bucketing), verify hamming distance on the full hash."""
+    sh = simhash_table(df, id_col, text_col).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits)
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "bucket")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_sql(src: str = "documents", id_col: str = "doc_id", bits: int = 60) -> str:
+    """DuckDB twin of :func:`simhash_table` (fragment: `, __sh AS (...)` tail
+    included by callers)."""
+    return f"""
+        SELECT {id_col} AS doc_id,
+               CAST(list_sum(list_transform(range({bits}), j ->
+                   CASE WHEN 2 * len(list_filter(
+                            list_transform(list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> ''),
+                                           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)),
+                            h -> (h >> j) & 1 = 1))
+                          > len(list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> ''))
+                        THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM {src}
+    """
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups by content hash, keeps the min id."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within a blocking group (J2-style blocked
+    theta join; blocking keeps the pair count bounded)."""
+    docs = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("sh")
+    )
+    a = docs.select("grp", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select("grp", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "grp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("grp", "doc_a", "doc_b", jaccard_col(F.col("sh_a"), F.col("sh_b"), round_digits).alias("jaccard"))
+    )

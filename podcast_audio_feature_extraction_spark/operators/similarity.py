@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a sign-LSH-bucketed
+variant as the scale path (axis-aligned hyperplanes on the leading dims:
+crude but deterministic and SQL-portable; at 100 TB swap in random
+hyperplanes broadcast as a literal matrix — the plan shape is identical).
+
+All math is sequential left-fold over the array (F.aggregate /
+list_reduce) in float64, so Spark and the DuckDB oracle produce
+bit-identical doubles before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column, round_digits: int = 6) -> Column:
+    return F.round(dot_col(a, b) / (norm_col(a) * norm_col(b)), round_digits)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (broadcast the small query side;
+    the corpus side streams — one pass, no shuffle until the per-query
+    top-k, which TakeOrderedAndProject keeps tiny)."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def sign_bucket_col(vec_col_name: str, n_bits: int = 8) -> Column:
+    """LSH bucket: sign bits of the first n_bits dimensions (SQL expr —
+    shiftleft by a lambda variable isn't expressible via the Python API)."""
+    return F.expr(
+        f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), (acc, i) -> "
+        f"acc + shiftleft(CASE WHEN element_at({vec_col_name}, i + 1) >= 0 "
+        f"THEN cast(1 as bigint) ELSE cast(0 as bigint) END, i))"
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+    Equi-join on bucket replaces the cross join — the 100 TB-scale path."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sign_bucket_col(vec_col, n_bits).alias("bucket")
+    )
+    c = emb.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), sign_bucket_col(vec_col, n_bits).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _cos_sql(a: str, b: str, dim: int) -> str:
+    def dot(x, y):
+        return (
+            f"list_reduce(list_transform(range({dim}), i -> "
+            f"CAST({x}[i+1] AS DOUBLE) * CAST({y}[i+1] AS DOUBLE)), (p, q) -> p + q)"
+        )
+
+    return f"round({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)"
+
+
+def brute_force_topk_sql(dim: int, k: int = 10, src: str = "embeddings", query_pred: str = "vec_id < 5") -> str:
+    """DuckDB twin of :func:`brute_force_topk` (fragment, embed after WITH)."""
+    return f"""
+        , __q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM {src} WHERE {query_pred}),
+        __scored AS (
+            SELECT q.q_id, c.vec_id AS c_id, {_cos_sql("q.q_vec", "c.embedding", dim)} AS cos
+            FROM {src} c CROSS JOIN __q q WHERE c.vec_id <> q.q_id
+        )
+        SELECT q_id, c_id, cos, rk FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rk
+            FROM __scored
+        ) WHERE rk <= {k}
+    """
+
+
+def lsh_topk_sql(dim: int, k: int = 10, src: str = "embeddings", query_pred: str = "vec_id < 5", n_bits: int = 8) -> str:
+    bucket = (
+        f"CAST(list_sum(list_transform(range({n_bits}), i -> "
+        f"CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+    )
+    return f"""
+        , __qb AS (SELECT vec_id AS q_id, embedding AS q_vec, {bucket} AS bucket FROM {src} WHERE {query_pred}),
+        __cb AS (SELECT vec_id AS c_id, embedding AS c_vec, {bucket} AS bucket FROM {src}),
+        __scored AS (
+            SELECT q.q_id, c.c_id, {_cos_sql("q.q_vec", "c.c_vec", dim)} AS cos
+            FROM __cb c JOIN __qb q USING (bucket) WHERE c.c_id <> q.q_id
+        )
+        SELECT q_id, c_id, cos, rk FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rk
+            FROM __scored
+        ) WHERE rk <= {k}
+    """

@@ -1,0 +1,113 @@
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from podcast_audio_feature_extraction_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from podcast_audio_feature_extraction_spark.operators.rerank import rerank_mood, rerank_topical
+from podcast_audio_feature_extraction_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def scores_sdf(spark):
+    rows = [
+        # seg_id, es, rerank, laughter, music, narration, funny, debate, disapproval
+        ("s01", 5, 9.0, 1, 50, 1, 8.0, 20.0, 5.0),   # passes entertaining + discussion
+        ("s02", 5, 8.0, 1, 150, 1, 8.0, 20.0, 5.0),  # music too high
+        ("s03", 5, 7.0, 1, 50, 1, 1.0, 20.0, 5.0),   # not funny
+        ("s04", 5, -1.0, 1, 50, 1, 8.0, 20.0, 5.0),  # negative rerank (P3)
+        ("s05", 5, 6.0, 1, 50, 1, 8.0, 1.0, 1.0),    # passes entertaining only
+    ]
+    cols = [
+        "seg_id", "es_score", "rerank_score", "laughter_freq", "music_freq",
+        "narration_freq", "yamnet_funny", "opensmile_debate", "opensmile_disapproval",
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+
+def test_rerank_topical_order(spark, scores_sdf):
+    got = rerank_topical(scores_sdf, num=3).toPandas().sort_values("rk")
+    assert list(got["seg_id"]) == ["s01", "s02", "s03"]
+
+
+def test_rerank_mood_fallback_preserves_duplicates(spark, scores_sdf):
+    # entertaining accepts s01 and s05 -> fallback adds topical top-1 (s01 again)
+    got = rerank_mood(scores_sdf, "entertaining", num=3).toPandas()
+    acc = got[got["pri"] == 0].sort_values("rk")
+    fb = got[got["pri"] == 1].sort_values("rk")
+    assert list(acc["seg_id"]) == ["s01", "s05"]
+    assert list(fb["seg_id"]) == ["s01"]  # duplicate allowed, faithful to np.concatenate
+    assert len(got) == 3
+
+
+def test_rerank_mood_no_fallback_when_full(spark, scores_sdf):
+    got = rerank_mood(scores_sdf, "entertaining", num=2).toPandas()
+    assert (got["pri"] == 0).all() and len(got) == 2
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a b c", "a b c", "x y", "x y"]})
+    )
+    got = exact_dedup(df).toPandas().sort_values("keeper_doc_id").reset_index(drop=True)
+    assert list(got["keeper_doc_id"]) == [1, 3]
+    assert list(got["n_copies"]) == [2, 2]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words appear in this unrelated document text here"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]}))
+    got = minhash_lsh_pairs(df, jaccard_threshold=0.3).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_close_for_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words appear in this unrelated document text here"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]}))
+    sh = simhash_table(df).toPandas().set_index("doc_id")["simhash"]
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_ngram_jaccard_symmetric_bounds(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"source": ["g", "g", "g"], "doc_id": [1, 2, 3],
+                      "text": ["a b c d", "a b c d", "e f g h"]})
+    )
+    got = ngram_jaccard_pairs(df).toPandas().set_index(["doc_a", "doc_b"])["jaccard"]
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.99, 0.1], [0.0, 1.0], [-1.0, 0.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).toPandas().sort_values("rk")
+    assert list(got["c_id"]) == [1, 2]  # nearest first, self excluded
+
+
+def test_ann_lsh_subset_of_bucket(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 1.0], [0.9, 0.8], [-1.0, 1.0], [-1.0, -1.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = lsh_topk(df, df.filter(F.col("vec_id") == 0), k=5, n_bits=2).toPandas()
+    assert set(got["c_id"]) == {1}  # only same-sign-bucket candidate
