@@ -1,0 +1,127 @@
+"""Per-partition checkpoint/resume with lineage metrics (SURVEY.md §2.2 P7,
+§2.1 S16/S17, §2.10 E2).
+
+Re-expresses the reference's skip-if-output-exists incremental recompute
+(/root/reference/src/features/FeatureExtractor.py:67-90) and its
+failed-URI retry list (/root/reference/src/search/index.py:125-160) as
+bucket-level checkpointing:
+
+- work is hash-bucketed by conv_id (``pmod(xxhash64(conv_id), n_buckets)``);
+- a JSON manifest records completed buckets with lineage (input/output row
+  counts, wall seconds, throughput) — the local stand-in for Iceberg
+  snapshot metadata (no Iceberg runtime jars in this sandbox; the commit
+  unit and resume semantics are identical);
+- resume = anti-join of the bucket work-list against the manifest: only
+  missing buckets are recomputed, exactly-once per bucket (data land +
+  manifest append happen per completed batch; a crash mid-batch re-runs
+  only that batch).
+
+Scale note: each batch is ONE Spark job over ``filter(bucket IN batch)``
+— a full scan per batch, so ``batch_size`` trades checkpoint granularity
+against scan count (ceil(n_buckets/batch_size) scans worst case). On a
+real cluster the input would be bucket-partitioned Iceberg so the filter
+prunes files and each batch scans only its own data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def bucket_col(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def load_manifest(out_dir: str) -> dict:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"buckets": {}, "runs": []}
+
+
+def _commit_manifest(out_dir: str, manifest: dict) -> None:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def run_resumable(
+    transform,
+    source: DataFrame,
+    out_dir: str,
+    key_col: str = "conv_id",
+    n_buckets: int = 16,
+    batch_size: int = 4,
+    run_id: str | None = None,
+) -> dict:
+    """Execute ``transform(df) -> df`` bucket-by-bucket with resume.
+
+    Returns the run's metrics dict (also appended to the manifest).
+    Output layout: ``{out_dir}/bucket={b}/part-*.parquet`` + manifest.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = load_manifest(out_dir)
+    # the bucketing scheme is part of the table's identity: resuming with a
+    # different modulus would assign conversations to different buckets and
+    # silently mix two layouts
+    pinned = manifest.get("n_buckets")
+    if pinned is not None and pinned != n_buckets:
+        raise ValueError(
+            f"manifest at {out_dir} was written with n_buckets={pinned}; "
+            f"got n_buckets={n_buckets} — use a fresh out_dir to rebucket"
+        )
+    manifest["n_buckets"] = n_buckets
+    done = set(int(b) for b in manifest["buckets"])
+    todo = [b for b in range(n_buckets) if b not in done]
+    run = {
+        "run_id": run_id or f"run-{len(manifest['runs'])}",
+        "n_buckets": n_buckets,
+        "resumed_buckets": sorted(done),
+        "computed_buckets": [],
+        "rows_out": 0,
+        "wall_s": 0.0,
+    }
+    src = source.withColumn("bucket", bucket_col(key_col, n_buckets))
+    for i in range(0, len(todo), batch_size):
+        batch = todo[i : i + batch_size]
+        t0 = time.perf_counter()
+        out = transform(src.filter(F.col("bucket").isin(batch)))
+        if "bucket" not in out.columns:
+            out = out.withColumn("bucket", bucket_col(key_col, n_buckets))
+        # land data first, then commit the manifest — a crash between the
+        # two re-runs the batch (idempotent: partition dirs are overwritten)
+        (
+            out.repartition(len(batch), "bucket")
+            .sortWithinPartitions(key_col)
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+        dt = time.perf_counter() - t0
+        counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for b in batch:
+            n = int(counts.get(b, 0))
+            manifest["buckets"][str(b)] = {
+                "rows": n,
+                "run_id": run["run_id"],
+                "wall_s": round(dt / len(batch), 3),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            run["computed_buckets"].append(b)
+            run["rows_out"] += n
+        run["wall_s"] = round(run["wall_s"] + dt, 3)
+        _commit_manifest(out_dir, manifest)
+    run["rows_per_sec"] = round(run["rows_out"] / run["wall_s"], 1) if run["wall_s"] > 0 else None
+    manifest["runs"].append(run)
+    _commit_manifest(out_dir, manifest)
+    return run

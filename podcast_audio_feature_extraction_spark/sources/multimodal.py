@@ -1,0 +1,124 @@
+"""Multimodal columns: media as opaque binary + typed metadata.
+
+The reference's audio path (ogg -> int16 PCM -> downmix -> windowed model,
+/root/reference/src/features/YAMNetExtractor.py:61-95) maps to: binary
+payload column -> decode -> per-window feature rows (1 media row in, n
+feature rows out — the UDTF shape, SURVEY.md §2.10 E5).
+
+The image/audio codec libraries are NOT in this container, so the decode
+step is STUBBED: ``decode="real"`` raises NotImplementedError with the
+intended implementation documented; ``decode="fake"`` is a deterministic
+byte-level decoder that keeps every Spark-side contract real and testable
+— schema, Arrow batch shape, mapInPandas plumbing, per-window fan-out,
+executor-singleton model slot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from podcast_audio_feature_extraction_spark.schema import MEDIA_SCHEMA
+
+FEATURE_DIM = 16
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        size = int(rng.integers(256, 4096))
+        rows.append(
+            {
+                "media_id": f"m{i:05d}",
+                "conv_id": f"c{i % 7}",
+                "kind": kind,
+                "payload": rng.integers(0, 256, size=size, dtype=np.uint8).tobytes(),
+                "mime": {"image": "image/png", "audio": "audio/ogg", "video": "video/mp4"}[kind],
+                "width": 64 if kind != "audio" else None,
+                "height": 64 if kind != "audio" else None,
+                "sample_rate": 44100 if kind != "image" else None,
+                "duration_s": float(rng.integers(1, 30)) if kind != "image" else None,
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+
+
+def _decode_real(payload: bytes, kind: str) -> np.ndarray:
+    raise NotImplementedError(
+        "real decode requires codec libs not present in this container: "
+        "image -> PIL.Image.open(BytesIO(payload)) -> np.asarray; "
+        "audio -> soundfile.read(BytesIO(payload), dtype='int16') -> "
+        "stereo downmix mean(axis=1)/32768.0 (YAMNetExtractor.py:69-70); "
+        "video -> pyav frame iterator. Swap _decode for these on a real "
+        "cluster — the mapInPandas plumbing below is unchanged."
+    )
+
+
+def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in: payload bytes as a [0,1) float signal."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(0, dtype=np.float64)
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.float64) / 256.0
+
+
+def extract_media_features(
+    media: DataFrame,
+    window: int = 256,
+    hop: int = 128,
+    decode: str = "fake",
+) -> DataFrame:
+    """Per-window media features via mapInPandas (UDTF shape: one media row
+    -> n frame rows). Feature = [mean, std(pop), min, max, ...histogram]
+    of the decoded signal per window — the engine-side analog of a model
+    embedding per 0.96 s patch.
+
+    Arrow batches stream through the Python worker; the decoder is chosen
+    once per executor (executor-singleton pattern, E3/E9).
+    """
+    decoder = {"fake": _decode_fake, "real": _decode_real}[decode]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                sig = decoder(payload, kind)
+                if sig.size < window:
+                    windows = [sig] if sig.size else []
+                else:
+                    starts = range(0, sig.size - window + 1, hop)
+                    windows = [sig[s : s + window] for s in starts]
+                for fi, w in enumerate(windows):
+                    hist, _ = np.histogram(w, bins=FEATURE_DIM - 4, range=(0.0, 1.0))
+                    feat = np.concatenate(
+                        [[w.mean(), w.std(), w.min(), w.max()], hist / max(w.size, 1)]
+                    )
+                    out_rows.append((media_id, kind, fi, feat.tolist()))
+            yield pd.DataFrame(out_rows, columns=["media_id", "kind", "frame_idx", "feature"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(process, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def media_feature_summary(features: DataFrame) -> DataFrame:
+    """Roll frame-level features up to one row per media item."""
+    return features.groupBy("media_id", "kind").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("mean_level"),
+        F.round(F.max(F.element_at("feature", 4)), 6).alias("peak_level"),
+    )

@@ -1,0 +1,104 @@
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from podcast_audio_feature_extraction_spark.operators.resume import load_manifest, run_resumable
+from podcast_audio_feature_extraction_spark.operators.skew import (
+    detect_heavy_keys,
+    salted_agg,
+    repartition_range_sorted,
+)
+from podcast_audio_feature_extraction_spark.plans.backfill import build_feature_table
+
+
+def _transform(df):
+    return build_feature_table(df.drop("bucket"), gap_s=1800.0, k=3, val_col=None)
+
+
+def test_resume_skips_completed_buckets(spark, transcripts_sdf, tmp_path):
+    out = str(tmp_path / "features")
+    run1 = run_resumable(_transform, transcripts_sdf, out, n_buckets=4, batch_size=2, run_id="r1")
+    assert sorted(run1["computed_buckets"]) == [0, 1, 2, 3]
+    total = run1["rows_out"]
+    assert total == transcripts_sdf.count()
+
+    # simulate a partial run: drop two buckets from the manifest and delete
+    # their data — rerun must recompute exactly those
+    mpath = os.path.join(out, "_manifest.json")
+    m = json.load(open(mpath))
+    removed = ["2", "3"]
+    for b in removed:
+        del m["buckets"][b]
+    json.dump(m, open(mpath, "w"))
+    run2 = run_resumable(_transform, transcripts_sdf, out, n_buckets=4, batch_size=2, run_id="r2")
+    assert sorted(run2["computed_buckets"]) == [2, 3]
+    assert sorted(run2["resumed_buckets"]) == [0, 1]
+
+    # final table identical to a fresh single-shot run
+    got = spark.read.parquet(out).drop("bucket")
+    fresh = _transform(transcripts_sdf)
+    assert got.count() == fresh.count()
+    key_sum = lambda df: df.agg(F.sum(F.crc32(F.concat_ws("|", "conv_id", "turn_idx"))).alias("s")).first()["s"]
+    assert key_sum(got) == key_sum(fresh)
+
+    man = load_manifest(out)
+    assert len(man["runs"]) == 2
+    assert all("rows" in v and "wall_s" in v for v in man["buckets"].values())
+
+
+def test_noop_rerun_computes_nothing(spark, transcripts_sdf, tmp_path):
+    out = str(tmp_path / "features2")
+    run_resumable(_transform, transcripts_sdf, out, n_buckets=2, batch_size=2)
+    run2 = run_resumable(_transform, transcripts_sdf, out, n_buckets=2, batch_size=2)
+    assert run2["computed_buckets"] == []
+    assert run2["rows_out"] == 0
+
+
+def test_salted_agg_matches_plain(spark, transcripts_sdf):
+    plain = (
+        transcripts_sdf.groupBy("conv_id")
+        .agg(
+            F.count("text").alias("n"),
+            F.min("turn_idx").alias("mn"),
+            F.max("turn_idx").alias("mx"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_agg(
+            transcripts_sdf,
+            "conv_id",
+            {"n": ("count", "text"), "mn": ("min", "turn_idx"), "mx": ("max", "turn_idx"),
+             "chars": ("sum", F.length("text"))},
+            n_salts=4,
+        )
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n", "mn", "mx", "chars"):
+        assert (plain[c].to_numpy() == salted[c].to_numpy()).all(), c
+
+
+def test_detect_heavy_keys(spark, transcripts_sdf):
+    heavy = detect_heavy_keys(transcripts_sdf, min_rows=100).toPandas()
+    counts = transcripts_sdf.groupBy("conv_id").count().toPandas()
+    assert set(heavy["conv_id"]) == set(counts[counts["count"] >= 100]["conv_id"])
+
+
+def test_repartition_range_sorted_is_sorted(spark, transcripts_sdf):
+    rp = repartition_range_sorted(transcripts_sdf, num_partitions=4)
+
+    def check_sorted(it):
+        prev = None
+        for row in it:
+            key = (row["conv_id"], row["ts"])
+            assert prev is None or key >= prev
+            prev = key
+        return iter([])
+
+    rp.rdd.mapPartitions(lambda it: check_sorted(it)).count()

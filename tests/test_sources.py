@@ -1,0 +1,92 @@
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from podcast_audio_feature_extraction_spark.sources.asr_json import (
+    full_transcript,
+    parse_asr_strings,
+    timestamped_words,
+    words_to_transcript_table,
+)
+from podcast_audio_feature_extraction_spark.sources.multimodal import (
+    extract_media_features,
+    media_feature_summary,
+    synthesize_media,
+)
+
+
+def _asr_doc(words, transcripts):
+    results = [{"alternatives": [{"transcript": t, "confidence": 0.9, "words": None}]} for t in transcripts]
+    results.append(
+        {
+            "alternatives": [
+                {
+                    "transcript": None,
+                    "confidence": None,
+                    "words": [
+                        {"startTime": f"{s}s", "endTime": f"{e}s", "word": w, "speakerTag": tag}
+                        for (s, e, w, tag) in words
+                    ],
+                }
+            ]
+        }
+    )
+    return json.dumps({"results": results})
+
+
+@pytest.fixture(scope="module")
+def asr_sdf(spark):
+    docs = [
+        ("ep1", _asr_doc([(0.0, 0.5, "hello", 1), (0.5, 1.2, "world", 2)], [" hello", " world"])),
+        ("ep2", _asr_doc([(3.0, 3.5, "spark", 1)], [" spark rules"])),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["episode_id", "json"]))
+    return parse_asr_strings(sdf)
+
+
+def test_timestamped_words_explode_and_cast(spark, asr_sdf):
+    got = timestamped_words(asr_sdf).toPandas().sort_values(["episode_id", "word_idx"]).reset_index(drop=True)
+    assert list(got["word"]) == ["hello", "world", "spark"]
+    np.testing.assert_allclose(got["start_s"], [0.0, 0.5, 3.0])
+    np.testing.assert_allclose(got["end_s"], [0.5, 1.2, 3.5])
+    assert list(got["speaker"]) == [1, 2, 1]
+    assert got["start_s"].dtype == np.float64
+
+
+def test_full_transcript_concats_all_but_last(spark, asr_sdf):
+    got = full_transcript(asr_sdf).toPandas().set_index("episode_id")["transcript"]
+    assert got["ep1"] == " hello world"
+    assert got["ep2"] == " spark rules"
+
+
+def test_words_adapter_schema(spark, asr_sdf):
+    t = words_to_transcript_table(timestamped_words(asr_sdf))
+    assert [f.name for f in t.schema.fields] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    row = t.filter("conv_id = 'ep2'").first()
+    assert row["role"] == "speaker_1" and row["text"] == "spark"
+
+
+def test_media_features_deterministic_fanout(spark):
+    media = synthesize_media(spark, n=12, seed=42)
+    feats = extract_media_features(media, window=256, hop=128)
+    pdf = feats.toPandas()
+    assert len(pdf) > 12  # UDTF shape: more frames than media rows
+    assert all(len(f) == 16 for f in pdf["feature"])
+    # deterministic across runs
+    pdf2 = extract_media_features(media, window=256, hop=128).toPandas()
+    a = pdf.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = pdf2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["media_id"] == b["media_id"]).all()
+    np.testing.assert_allclose(np.stack(a["feature"]), np.stack(b["feature"]))
+    # rollup covers every media item
+    summary = media_feature_summary(feats).toPandas()
+    assert set(summary["media_id"]) == set(media.toPandas()["media_id"])
+
+
+def test_media_real_decode_is_explicit_stub(spark):
+    media = synthesize_media(spark, n=3)
+    feats = extract_media_features(media, decode="real")
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        feats.collect()

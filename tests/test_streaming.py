@@ -1,0 +1,69 @@
+import pyspark.sql.functions as F
+
+from podcast_audio_feature_extraction_spark.operators.functionals import window_functionals
+from podcast_audio_feature_extraction_spark.operators.sessionize import sessionize
+from podcast_audio_feature_extraction_spark.streaming.sessions import (
+    read_transcript_stream,
+    run_stream_to_memory,
+    session_window_bounds,
+    sliding_window_counts_stream,
+)
+
+
+def _write_stream_input(transcripts_sdf, tmp_path):
+    path = str(tmp_path / "stream_in")
+    transcripts_sdf.repartition(6).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_streaming_session_windows_match_batch(spark, transcripts_sdf, tmp_path):
+    path = _write_stream_input(transcripts_sdf, tmp_path)
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=2)
+    # files arrive in arbitrary ts order across micro-batches, so the
+    # parity test needs a watermark wider than the data span (real
+    # deployments tune this to the actual lateness bound)
+    got = run_stream_to_memory(
+        session_window_bounds(stream, gap="30 minutes", watermark="365 days"), "sess_stream", spark
+    ).toPandas()
+    want = session_window_bounds(transcripts_sdf, gap="30 minutes").toPandas()
+    key = ["conv_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["n_turns"].to_numpy() == want["n_turns"].to_numpy()).all()
+    assert (got["session_end"].to_numpy() == want["session_end"].to_numpy()).all()
+
+
+def test_session_window_vs_batch_sessionize_counts(spark, transcripts_sdf):
+    """session_window (gap >= g splits) vs lag+cumsum (gap > g splits):
+    session counts must agree when no gap equals g exactly."""
+    gap_s = 1800.0
+    sw = session_window_bounds(transcripts_sdf, gap="30 minutes").groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_sw")
+    )
+    bs = (
+        sessionize(transcripts_sdf, gap_s=gap_s)
+        .groupBy("conv_id")
+        .agg((F.max("session_id") + 1).alias("n_bs"))
+    )
+    joined = sw.join(bs, "conv_id").toPandas()
+    assert len(joined) > 0
+    assert (joined["n_sw"].to_numpy() == joined["n_bs"].to_numpy()).all()
+
+
+def test_streaming_sliding_windows_match_batch(spark, transcripts_sdf, tmp_path):
+    path = _write_stream_input(transcripts_sdf, tmp_path)
+    stream = read_transcript_stream(spark, path)
+    got = run_stream_to_memory(
+        sliding_window_counts_stream(stream, watermark="365 days"), "win_stream", spark
+    ).toPandas()
+    want = (
+        window_functionals(transcripts_sdf.withColumn("val", F.lit(1.0)))
+        .select("conv_id", "win_start", F.col("n").alias("n_turns"))
+        .toPandas()
+    )
+    key = ["conv_id", "win_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["n_turns"].to_numpy() == want["n_turns"].to_numpy()).all()
