@@ -303,6 +303,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side candidate retrieval (S9/T1/J3): scored top-k segments."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.search import conv_dimension, search_segments
+
+    t = load_transcript(spark, sf_dir)
+    return search_segments(build_segments(t), "click error purchase", conv_dimension(t), k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize": q_sessionize,
@@ -326,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "text_quality": q_text_quality,
+        "search_topk": q_search_topk,
     }
 
 
@@ -426,7 +436,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("brute"),
         "ann_lsh": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh"),
         "text_quality": _text_quality_sql(),
+        "search_topk": _with_transcript(
+            f", segments AS ({build_segments_sql(120, 60)}) " + _search_sql()
+        ),
     }
+
+
+def _search_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.search import search_segments_sql
+
+    return search_segments_sql("click error purchase", k=100)
 
 
 def _mood_scores_sql() -> str:

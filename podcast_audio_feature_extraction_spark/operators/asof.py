@@ -42,19 +42,32 @@ def asof_join_union(
     value_cols: list[str] | None = None,
     right_tie_cols: list[str] | None = None,
     inclusive: bool = True,
+    left_tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """As-of join via the union trick (strategy 1).
 
-    ``right_tie_cols``: deterministic ordering among right rows sharing a
-    ts (the *last* by this ordering wins), e.g. ``["turn_idx"]``.
+    Two tie regimes at equal ts:
+
+    - ts-only (default): ``right_tie_cols`` orders right rows among
+      themselves and the *last* one wins for every left row at that ts.
+    - paired (``left_tie_cols`` given, same length): the effective time key
+      is the lexicographic (ts, tie...) on BOTH sides — per-turn
+      point-in-time semantics: a right row at the same ts but a later
+      tie (e.g. turn_idx) is "later" and never read. This is the regime the
+      feature backfill uses so a turn at a duplicated timestamp cannot
+      read its sibling's feature (BASELINE zero-leakage invariant at
+      (conv_id, turn_idx, ts) granularity).
     """
     keys = _as_list(on)
     value_cols = value_cols or [c for c in right.columns if c not in keys + [ts_col]]
     right_tie_cols = right_tie_cols or []
+    paired = left_tie_cols is not None
+    if paired and len(left_tie_cols) != len(right_tie_cols):
+        raise ValueError("left_tie_cols and right_tie_cols must pair up")
 
     # side: right rows must sort before (inclusive) / after (exclusive)
-    # left rows at an equal ts so `last(..., ignorenulls)` sees exactly the
-    # legal right rows.
+    # left rows at an equal effective time key so `last(..., ignorenulls)`
+    # sees exactly the legal right rows.
     r_side, l_side = (0, 1) if inclusive else (1, 0)
     tagged_r = right.select(
         *keys,
@@ -63,15 +76,20 @@ def asof_join_union(
         *[F.col(c).cast("long").alias(f"__tie{i}") for i, c in enumerate(right_tie_cols)],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
-    tagged_l = left.select(
-        "*",
-        F.col(ts_col).alias("__ts"),
-        F.lit(l_side).alias("__side"),
-        *[F.lit(None).cast(tagged_r.schema[f"__tie{i}"].dataType).alias(f"__tie{i}") for i in range(len(right_tie_cols))],
+    left_tie_exprs = (
+        [F.col(c).cast("long").alias(f"__tie{i}") for i, c in enumerate(left_tie_cols)]
+        if paired
+        else [F.lit(None).cast("long").alias(f"__tie{i}") for i in range(len(right_tie_cols))]
     )
+    tagged_l = left.select("*", F.col(ts_col).alias("__ts"), F.lit(l_side).alias("__side"), *left_tie_exprs)
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
-    order = [F.col("__ts"), F.col("__side")] + [F.col(f"__tie{i}") for i in range(len(right_tie_cols))]
+    ties = [F.col(f"__tie{i}") for i in range(len(right_tie_cols))]
+    if paired:
+        # lexicographic (ts, tie..., side): tie participates in the time key
+        order = [F.col("__ts"), *ties, F.col("__side")]
+    else:
+        order = [F.col("__ts"), F.col("__side"), *ties]
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for c in value_cols:
         unioned = unioned.withColumn(f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
@@ -140,10 +158,11 @@ def asof_join(
     inclusive: bool = True,
     strategy: str = "union",
     right_tie_cols: list[str] | None = None,
+    left_tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Dispatch between the two physical as-of strategies."""
     if strategy == "union":
-        return asof_join_union(left, right, on, ts_col, value_cols, right_tie_cols, inclusive)
+        return asof_join_union(left, right, on, ts_col, value_cols, right_tie_cols, inclusive, left_tie_cols)
     if strategy == "cogroup":
         return asof_join_cogroup(left, right, on, ts_col, value_cols, inclusive)
     raise ValueError(f"unknown as-of strategy: {strategy!r}")

@@ -46,41 +46,48 @@ def turn_features(
     order = Window.partitionBy(conv_col).orderBy(ts_col, tie_col)
     trail = order.rowsBetween(-k, 0)
 
-    out = (
-        df.withColumn("token_cnt", token_count(F.col("text")))
-        .withColumn("char_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int"))
-        .withColumn("is_tool_use", F.col("tool").isNotNull().cast("int"))
-        .withColumn("prev_role", F.lag("role").over(order))
-        .withColumn("next_role", F.lead("role").over(order))
-        .withColumn(
-            "role_changed",
-            F.when(F.lag("role").over(order).isNull(), F.lit(1))
-            .otherwise((F.col("role") != F.lag("role").over(order)).cast("int")),
-        )
-        .withColumn(
-            "gap_s",
-            F.coalesce(
-                (ts_micros(ts_col) - ts_micros(F.lag(F.col(ts_col)).over(order))) / F.lit(1e6),
-                F.lit(0.0),
-            ),
-        )
+    # stage 0: plain projections (no window), with an explicit double copy
+    # of token_cnt so the rolling pass below needs no implicit cast
+    # projection — an interleaved cast splits Spark's Window operator in
+    # two and doubles the traversals over the sorted partition.
+    base = df.select(
+        "*",
+        token_count(F.col("text")).alias("token_cnt"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int").alias("char_len"),
+        F.col("tool").isNotNull().cast("int").alias("is_tool_use"),
+    ).withColumn("__token_cnt_d", F.col("token_cnt").cast("double"))
+
+    # stage 1: ONE window pass for all lag/lead context
+    ctx = base.select(
+        "*",
+        F.lag("role").over(order).alias("prev_role"),
+        F.lead("role").over(order).alias("next_role"),
+        F.lag(ts_micros(ts_col)).over(order).alias("__prev_us"),
+    ).select(
+        "*",
+        F.when(F.col("prev_role").isNull(), F.lit(1))
+        .otherwise((F.col("role") != F.col("prev_role")).cast("int"))
+        .alias("role_changed"),
+        F.coalesce((ts_micros(ts_col) - F.col("__prev_us")) / F.lit(1e6), F.lit(0.0)).alias("gap_s"),
     )
-    out = (
-        out.withColumn("roll_token_mean", F.avg("token_cnt").over(trail))
-        .withColumn("roll_token_std", F.coalesce(F.stddev_pop("token_cnt").over(trail), F.lit(0.0)))
-        .withColumn("roll_token_min", F.min("token_cnt").over(trail))
-        .withColumn("roll_token_max", F.max("token_cnt").over(trail))
-        .withColumn("roll_tool_cnt", F.sum("is_tool_use").over(trail).cast("int"))
-        .withColumn("roll_role_changes", F.sum("role_changed").over(trail).cast("int"))
-    )
+
+    # stage 2: ONE window pass for every trailing-frame functional
+    roll_exprs = [
+        F.avg("__token_cnt_d").over(trail).alias("roll_token_mean"),
+        F.coalesce(F.stddev_pop("__token_cnt_d").over(trail), F.lit(0.0)).alias("roll_token_std"),
+        F.min("token_cnt").over(trail).alias("roll_token_min"),
+        F.max("token_cnt").over(trail).alias("roll_token_max"),
+        F.sum("is_tool_use").over(trail).cast("int").alias("roll_tool_cnt"),
+        F.sum("role_changed").over(trail).cast("int").alias("roll_role_changes"),
+    ]
     if val_col is not None and val_col in df.columns:
-        out = (
-            out.withColumn("roll_val_mean", F.avg(val_col).over(trail))
-            .withColumn("roll_val_std", F.coalesce(F.stddev_pop(val_col).over(trail), F.lit(0.0)))
-            .withColumn("roll_val_min", F.min(val_col).over(trail))
-            .withColumn("roll_val_max", F.max(val_col).over(trail))
-        )
-    return out
+        roll_exprs += [
+            F.avg(val_col).over(trail).alias("roll_val_mean"),
+            F.coalesce(F.stddev_pop(val_col).over(trail), F.lit(0.0)).alias("roll_val_std"),
+            F.min(val_col).over(trail).alias("roll_val_min"),
+            F.max(val_col).over(trail).alias("roll_val_max"),
+        ]
+    return ctx.select("*", *roll_exprs).drop("__token_cnt_d", "__prev_us")
 
 
 FUNCTIONAL_COLS = [

@@ -18,7 +18,7 @@ across the remaining stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from podcast_audio_feature_extraction_spark.functions.embedding import with_embedding
 from podcast_audio_feature_extraction_spark.operators.asof import asof_join
@@ -49,15 +49,48 @@ def backfill_features(
     strategy: str = "union",
     inclusive: bool = True,
 ) -> DataFrame:
-    """Attach the latest feature vector at or before each frame row's ts.
+    """Attach the latest feature vector at or before each frame row's
+    (ts, turn_idx).
 
-    ``frame`` needs (conv_id, ts); feature provenance columns are renamed
-    so they never collide with the frame's own.
+    ``frame`` needs (conv_id, ts); if it also carries turn_idx the as-of
+    uses per-turn paired-tie semantics (a feature from the same second but
+    a later turn is never read — zero leakage at turn granularity).
+    Feature provenance columns are renamed so they never collide.
     """
     right = (
         feature_table.withColumnRenamed("turn_idx", "feat_turn_idx")
         .withColumnRenamed("session_id", "feat_session_id")
     )
+    paired = strategy in ("union", "compact") and "turn_idx" in frame.columns
+    if strategy == "compact":
+        # two-phase as-of: the union-trick sort touches only narrow key
+        # rows (the wide functionals/embedding arrays would otherwise
+        # dominate the sort's memory traffic); the winning feature key is
+        # then resolved to its vectors with a hash join, which moves the
+        # wide rows exactly once and never sorts them.
+        matched = asof_join(
+            frame,
+            right.select("conv_id", "ts", "feat_turn_idx"),
+            on="conv_id",
+            ts_col="ts",
+            value_cols=["feat_turn_idx"],
+            inclusive=inclusive,
+            strategy="union",
+            right_tie_cols=["feat_turn_idx"],
+            left_tie_cols=["turn_idx"] if paired else None,
+        )
+        wide = right.select(
+            F.col("conv_id").alias("__f_conv_id"),
+            F.col("feat_turn_idx").alias("__f_turn_idx"),
+            "feat_session_id",
+            "functionals",
+            "embedding",
+        )
+        return matched.join(
+            wide,
+            (matched.conv_id == wide.__f_conv_id) & (matched.feat_turn_idx == wide.__f_turn_idx),
+            "left",
+        ).drop("__f_conv_id", "__f_turn_idx")
     return asof_join(
         frame,
         right,
@@ -67,12 +100,20 @@ def backfill_features(
         inclusive=inclusive,
         strategy=strategy,
         right_tie_cols=["feat_turn_idx"] if strategy == "union" else None,
+        left_tie_cols=["turn_idx"] if paired else None,
     )
 
 
-def flagship(transcripts: DataFrame, gap_s: float = 1800.0, k: int = 5) -> DataFrame:
-    """End-to-end: build features then backfill them onto the turns frame
-    itself (every turn gets the feature vector visible at its own ts)."""
+def flagship(transcripts: DataFrame, gap_s: float = 1800.0, k: int = 5, strategy: str = "union") -> DataFrame:
+    """End-to-end single-plan form: build features then backfill them onto
+    the turns frame itself (every turn gets the feature vector visible at
+    its own ts).
+
+    strategy="union" keeps one plan with no recomputation. The "compact"
+    strategy references the feature table twice, so it belongs with a
+    STORED feature table (the production precompute-then-lookup shape,
+    search.py:324-353) where the second reference is a column-pruned scan
+    — see bench.py's two-phase flagship."""
     feats = build_feature_table(transcripts, gap_s=gap_s, k=k)
     frame = transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
-    return backfill_features(frame, feats)
+    return backfill_features(frame, feats, strategy=strategy)

@@ -46,11 +46,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def transcript_from_events(events: DataFrame) -> DataFrame:
-    """Spark twin of :data:`TRANSCRIPT_SQL`."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    """Spark twin of :data:`TRANSCRIPT_SQL`.
+
+    conv_id is projected as a real attribute FIRST, then row_number windows
+    over that attribute (1:1 with user_id, so values match the SQL twin).
+    Windowing over the expression instead would extract it into an internal
+    `_w0` column Spark cannot unify with the conv_id alias, so every
+    downstream conv_id-keyed window/aggregate would re-shuffle; this way
+    the derivation's hash partitioning is reused (one Exchange saved per
+    pipeline branch; verified via .explain)."""
+    base = events.select(
         F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.when(F.col("event_type").isin("view", "click"), "user")
         .when(F.col("event_type") == "purchase", "assistant")
         .when(F.col("event_type") == "error", "tool")
@@ -62,6 +68,17 @@ def transcript_from_events(events: DataFrame) -> DataFrame:
         .alias("tool"),
         F.col("ts"),
         F.col("value").alias("val"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return base.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+        "val",
     )
 
 

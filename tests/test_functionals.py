@@ -1,0 +1,66 @@
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from podcast_audio_feature_extraction_spark.operators.functionals import window_functionals
+from podcast_audio_feature_extraction_spark.operators.segments import build_segments
+from podcast_audio_feature_extraction_spark.oracle.numpy_oracle import sliding_window_functionals_np
+
+
+def _with_val(pdf):
+    rng = np.random.default_rng(3)
+    out = pdf.copy()
+    out["val"] = np.round(rng.uniform(0, 100, size=len(pdf)), 2)
+    return out
+
+
+def test_window_functionals_match_numpy_oracle(spark, transcripts_pdf):
+    pdf = _with_val(transcripts_pdf)
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        window_functionals(sdf, "120 seconds", "60 seconds", round_digits=None)
+        .toPandas()
+        .sort_values(["conv_id", "win_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = sliding_window_functionals_np(pdf, 120.0, 60.0).sort_values(
+        ["conv_id", "win_start"], kind="mergesort"
+    ).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["conv_id"].to_numpy() == want["conv_id"].to_numpy()).all()
+    assert (got["win_start"].to_numpy() == want["win_start"].to_numpy()).all()
+    np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    for s, w in (("val_mean", "mean"), ("val_std", "std"), ("val_min", "min"), ("val_max", "max"), ("val_median", "median")):
+        np.testing.assert_allclose(got[s].to_numpy(), want[w].to_numpy(), rtol=1e-9, atol=1e-12, err_msg=s)
+
+
+def test_each_row_lands_in_exactly_two_windows(spark, transcripts_sdf):
+    n_rows = transcripts_sdf.count()
+    total = (
+        window_functionals(transcripts_sdf.withColumn("val", F.lit(1.0)))
+        .agg(F.sum("n").alias("s"))
+        .first()["s"]
+    )
+    assert total == 2 * n_rows  # 120s/60s overlap factor
+
+
+def test_segments_words_ordered_by_ts_turnidx(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": ["alpha", "bravo", "charlie", "delta"],
+            "tool": [None] * 4,
+            # two rows share a ts -> tie broken by turn_idx
+            "ts": pd.to_datetime(["2024-01-01 00:00:10", "2024-01-01 00:00:10",
+                                  "2024-01-01 00:00:30", "2024-01-01 00:01:50"]),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    segs = build_segments(sdf).toPandas().sort_values("win_start").reset_index(drop=True)
+    first = segs.iloc[1]  # window starting at 00:00:00 (index 0 is the -60s window)
+    assert first["seg_words"] == "alpha bravo charlie delta"
+    assert first["seg_length"] == 4
+    assert first["seg_speakers"] == 2
+    assert first["seg_id"].startswith("c_")

@@ -1,0 +1,59 @@
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from podcast_audio_feature_extraction_spark.functions.pca import (
+    apply_pca_whitener,
+    combine_embeddings,
+    fit_pca_whitener,
+    strided_downsample,
+)
+from podcast_audio_feature_extraction_spark.operators.search import conv_dimension, search_segments
+from podcast_audio_feature_extraction_spark.operators.segments import build_segments
+
+
+def test_pca_whitening_decorrelates(spark):
+    rng = np.random.default_rng(5)
+    # correlated 2-block data in 8 dims
+    base = rng.normal(size=(800, 4))
+    x = np.concatenate([base, base * 2.0 + rng.normal(scale=0.1, size=(800, 4))], axis=1)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(x)), "embedding": [row.tolist() for row in x]})
+    )
+    params = fit_pca_whitener(df, sample_rows=800, clip=10.0)
+    out = apply_pca_whitener(df, params).toPandas()
+    y = np.stack([np.asarray(v) for v in out["whitened"]])
+    cov = np.cov(y - y.mean(axis=0), rowvar=False, ddof=0)
+    off_diag = cov - np.diag(np.diag(cov))
+    assert np.abs(off_diag).max() < 0.05  # whitened ~ identity covariance
+    assert np.abs(np.diag(cov) - 1.0).max() < 0.05
+    assert np.abs(y).max() <= 10.0
+
+
+def test_strided_downsample_and_combine(spark, transcripts_sdf):
+    down = strided_downsample(transcripts_sdf, every=5, max_idx=50)
+    pdf = down.toPandas()
+    assert (pdf["frame_idx"] % 5 == 0).all()
+    assert (pdf["frame_idx"] < 50).all()
+    with_vec = down.withColumn("whitened", F.array(F.col("frame_idx").cast("double")))
+    combined = combine_embeddings(with_vec).toPandas()
+    for _, r in combined.iterrows():
+        idxs = [v[0] for v in r["embeddings"]]
+        assert idxs == sorted(idxs)  # ordered per entity
+        assert r["n_frames"] == len(r["embeddings"])
+
+
+def test_search_scores_and_ranks(spark, transcripts_sdf):
+    segs = build_segments(transcripts_sdf)
+    dim = conv_dimension(transcripts_sdf)
+    got = search_segments(segs, "the a and", dim, k=20).toPandas()
+    assert len(got) <= 20
+    assert (got["es_score"] > 0).all()
+    scores = got["es_score"].to_numpy()
+    assert (np.diff(scores) <= 0).all()  # descending
+
+
+def test_search_no_hits_is_empty(spark, transcripts_sdf):
+    segs = build_segments(transcripts_sdf)
+    got = search_segments(segs, "zzzznotaword", None, k=10).toPandas()
+    assert len(got) == 0
