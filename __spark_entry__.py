@@ -303,6 +303,50 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + grouped agg + top-k."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q_antijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join (U2/P7 shape): customers with no large order."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column (semi-structured
+    scan, S2-adjacent)."""
+    _utc(spark)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-side candidate retrieval (S9/T1/J3): scored top-k segments."""
     _utc(spark)
@@ -336,6 +380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "text_quality": q_text_quality,
         "search_topk": q_search_topk,
+        "shipping_priority": q_shipping_priority,
+        "antijoin_customers": q_antijoin_customers,
+        "json_extract": q_json_extract,
     }
 
 
@@ -439,6 +486,23 @@ def oracle_sql() -> dict[str, str]:
         "search_topk": _with_transcript(
             f", segments AS ({build_segments_sql(120, 60)}) " + _search_sql()
         ),
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 20
+        """,
+        "antijoin_customers": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
     }
 
 
