@@ -282,6 +282,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10, n_bits=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (coarse k-means quantizer + nprobe buckets).
+    No oracle_sql: the quantizer is an iterative driver-side k-means —
+    non-SQL-expressible; correctness is pinned by tests/test_ivf.py
+    (recall vs the oracle-checked brute force)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.similarity import fit_ivf_centroids, ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = fit_ivf_centroids(e, n_centroids=16, iters=8)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), cents, k=10, nprobe=4)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + language-ID + BPE-ish token count + fingerprint."""
     _utc(spark)
@@ -378,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
         "search_topk": q_search_topk,
         "shipping_priority": q_shipping_priority,

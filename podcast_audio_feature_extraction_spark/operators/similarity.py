@@ -12,6 +12,7 @@ bit-identical doubles before rounding.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -78,6 +79,87 @@ def lsh_topk(
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def fit_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 20_000,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Driver-side k-means on a deterministic ordered sample (the IVF
+    coarse quantizer; at 100 TB you fit on a 0.01% sample the same way —
+    centroid fitting is O(sample), never O(corpus))."""
+    import numpy as np
+
+    pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            m = assign == c
+            if m.any():
+                centroids[c] = x[m].mean(axis=0)
+    return centroids
+
+
+def _nearest_centroids_udf(centroids, nprobe: int):
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argpartition for top-nprobe
+        d = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        idx = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return nearest
+
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (one pass, broadcast centroid matrix); each query probes its
+    ``nprobe`` nearest centroid buckets. The candidate join is an
+    equi-join on centroid_id — the 100 TB path: candidates shrink by
+    ~n_centroids/nprobe and the quantizer is a broadcast literal."""
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    probe = _nearest_centroids_udf(centroids, nprobe)
+    c = emb.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("centroid_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe(F.col(vec_col))).alias("centroid_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
         .filter(F.col("c_id") != F.col("q_id"))
         .select("q_id", "c_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
