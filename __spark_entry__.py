@@ -360,6 +360,56 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_argmax_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 literal semantics: per label, count vectors whose dim 13 equals
+    the max of dims 1..63 (metrics.py:24-30 shape)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.evaluation import argmax_match_count
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.groupBy("label").agg(
+        argmax_match_count(F.col("embedding"), 13, 1, 63).alias("n_match"),
+        F.count(F.lit(1)).cast("int").alias("n_total"),
+    )
+
+
+EVAL_TOPICS = [(1, "click"), (2, "error"), (3, "purchase")]
+
+
+def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (qrels consumption): P@10 / recall@10 / MRR@10
+    of engine search results against derived golden judgments."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.evaluation import ranking_metrics
+    from podcast_audio_feature_extraction_spark.operators.search import score_expr
+
+    t = load_transcript(spark, sf_dir)
+    segs = build_segments(t).select("seg_id", "seg_words")
+    res_parts, qrel_parts = [], []
+    for tid, term in EVAL_TOPICS:
+        scored = segs.select(
+            F.lit(tid).alias("topic_id"),
+            "seg_id",
+            score_expr(F.col("seg_words"), [term], 2.0).alias("s"),
+        ).filter(F.col("s") > 0)
+        w = Window.partitionBy("topic_id").orderBy(F.desc("s"), F.asc("seg_id"))
+        res_parts.append(scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 100))
+        qrel_parts.append(
+            segs.select(
+                F.lit(tid).alias("topic_id"),
+                "seg_id",
+                F.when(score_expr(F.col("seg_words"), [term], 1.0) >= 2, 1).otherwise(0).alias("grade"),
+            ).filter(F.col("grade") > 0)
+        )
+    results = res_parts[0]
+    for p in res_parts[1:]:
+        results = results.unionByName(p)
+    qrels = qrel_parts[0]
+    for p in qrel_parts[1:]:
+        qrels = qrels.unionByName(p)
+    return ranking_metrics(results.select("topic_id", "seg_id", "rk"), qrels, k=10)
+
+
 def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-side candidate retrieval (S9/T1/J3): scored top-k segments."""
     _utc(spark)
@@ -394,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
         "search_topk": q_search_topk,
+        "argmax_match": q_argmax_match,
+        "search_eval": q_search_eval,
         "shipping_priority": q_shipping_priority,
         "antijoin_customers": q_antijoin_customers,
         "json_extract": q_json_extract,
@@ -500,6 +552,15 @@ def oracle_sql() -> dict[str, str]:
         "search_topk": _with_transcript(
             f", segments AS ({build_segments_sql(120, 60)}) " + _search_sql()
         ),
+        "argmax_match": """
+            SELECT label,
+                   CAST(sum(CAST(embedding[14] = list_max(embedding[2:64]) AS INT)) AS INT) AS n_match,
+                   CAST(count(*) AS INT) AS n_total
+            FROM embeddings GROUP BY label
+        """,
+        "search_eval": _with_transcript(
+            f", segments AS ({build_segments_sql(120, 60)}) " + _search_eval_sql()
+        ),
         "shipping_priority": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -518,6 +579,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
     }
+
+
+def _search_eval_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.evaluation import ranking_metrics_sql
+
+    def tf(term: str) -> str:
+        toks = "list_filter(regexp_split_to_array(lower(COALESCE(seg_words,'')), '\\s+'), x -> x <> '')"
+        return f"len(list_filter({toks}, x -> x = '{term}'))"
+
+    topic_scores = " UNION ALL ".join(
+        f"SELECT {tid} AS topic_id, seg_id, 2.0 * {tf(term)} AS s, {tf(term)} AS tf FROM segments"
+        for tid, term in EVAL_TOPICS
+    )
+    return f"""
+        , __scored AS ({topic_scores}),
+        __results AS (
+            SELECT topic_id, seg_id,
+                   CAST(row_number() OVER (PARTITION BY topic_id ORDER BY s DESC, seg_id ASC) AS INT) AS rk
+            FROM __scored WHERE s > 0
+            QUALIFY rk <= 100
+        ),
+        __qrels AS (SELECT topic_id, seg_id, 1 AS grade FROM __scored WHERE tf >= 2)
+        {ranking_metrics_sql("__results", "__qrels", k=10)}
+    """
 
 
 def _search_sql() -> str:
