@@ -62,10 +62,17 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     band_size: int = 3,
     jaccard_threshold: float = 0.2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified by exact shingle Jaccard.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, distinct.
+
+    ``max_bucket`` drops degenerate buckets (e.g. the all-empty-text
+    bucket) before the self-join — at 100 TB a hot bucket of B docs costs
+    B^2 candidate pairs, so capping is the difference between an LSH join
+    and an accidental cross join. Capped buckets are skew outliers by
+    construction (near-identical boilerplate); route them to exact dedup.
     """
     n_bands = n_hashes // band_size
     docs = df.select(
@@ -83,6 +90,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        cnt = Window.partitionBy("band_idx", "band_key")
+        bands = (
+            bands.withColumn("__n", F.count(F.lit(1)).over(cnt))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
 
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band_idx", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band_idx", "band_key")

@@ -32,6 +32,10 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("frame_idx", T.IntegerType(), False),
         T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        # E2 quarantine channel (FeatureExtractor.py:57-65 analog): a failed
+        # decode produces ONE row with feature=null and the error recorded,
+        # instead of killing the task — split off with quarantine()
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
@@ -98,21 +102,33 @@ def extract_media_features(
         for pdf in batches:
             out_rows = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                sig = decoder(payload, kind)
-                if sig.size < window:
-                    windows = [sig] if sig.size else []
-                else:
-                    starts = range(0, sig.size - window + 1, hop)
-                    windows = [sig[s : s + window] for s in starts]
-                for fi, w in enumerate(windows):
-                    hist, _ = np.histogram(w, bins=FEATURE_DIM - 4, range=(0.0, 1.0))
-                    feat = np.concatenate(
-                        [[w.mean(), w.std(), w.min(), w.max()], hist / max(w.size, 1)]
-                    )
-                    out_rows.append((media_id, kind, fi, feat.tolist()))
-            yield pd.DataFrame(out_rows, columns=["media_id", "kind", "frame_idx", "feature"])
+                # per-item fault isolation (E2): one bad payload quarantines
+                # itself, the rest of the batch proceeds
+                try:
+                    sig = decoder(payload, kind)
+                    if sig.size < window:
+                        windows = [sig] if sig.size else []
+                    else:
+                        starts = range(0, sig.size - window + 1, hop)
+                        windows = [sig[s : s + window] for s in starts]
+                    for fi, w in enumerate(windows):
+                        hist, _ = np.histogram(w, bins=FEATURE_DIM - 4, range=(0.0, 1.0))
+                        feat = np.concatenate(
+                            [[w.mean(), w.std(), w.min(), w.max()], hist / max(w.size, 1)]
+                        )
+                        out_rows.append((media_id, kind, fi, feat.tolist(), None))
+                except Exception as e:  # noqa: BLE001
+                    out_rows.append((media_id, kind, -1, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(out_rows, columns=["media_id", "kind", "frame_idx", "feature", "error"])
 
     return media.select("media_id", "kind", "payload").mapInPandas(process, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def quarantine(features: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split feature rows from quarantined failures (errors table, E2)."""
+    ok = features.filter(F.col("error").isNull()).drop("error")
+    bad = features.filter(F.col("error").isNotNull()).select("media_id", "kind", "error")
+    return ok, bad
 
 
 def media_feature_summary(features: DataFrame) -> DataFrame:

@@ -111,3 +111,18 @@ def test_ann_lsh_subset_of_bucket(spark):
     df = spark.createDataFrame(pdf)
     got = lsh_topk(df, df.filter(F.col("vec_id") == 0), k=5, n_bits=2).toPandas()
     assert set(got["c_id"]) == {1}  # only same-sign-bucket candidate
+
+
+def test_minhash_bucket_cap_prunes_degenerate_buckets(spark):
+    # 6 identical docs form one hot bucket -> capped out; one near-dup pair survives
+    texts = ["same same same same boilerplate text here"] * 6 + [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again tomorrow",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    uncapped = minhash_lsh_pairs(df, jaccard_threshold=0.3).toPandas()
+    capped = minhash_lsh_pairs(df, jaccard_threshold=0.3, max_bucket=4).toPandas()
+    assert len(uncapped) > len(capped)  # 15 identical pairs + 1 near-dup vs just the near-dup
+    pairs = set(zip(capped["doc_a"], capped["doc_b"]))
+    assert (6, 7) in pairs
+    assert all(a >= 6 for a, _ in pairs)  # hot bucket fully pruned

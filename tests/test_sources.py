@@ -86,7 +86,24 @@ def test_media_features_deterministic_fanout(spark):
 
 
 def test_media_real_decode_is_explicit_stub(spark):
+    """decode='real' is stubbed: every item lands in the quarantine channel
+    with the NotImplementedError message (E2 fault isolation, not a task
+    failure)."""
+    from podcast_audio_feature_extraction_spark.sources.multimodal import quarantine
+
     media = synthesize_media(spark, n=3)
-    feats = extract_media_features(media, decode="real")
-    with pytest.raises(Exception, match="NotImplementedError|real decode"):
-        feats.collect()
+    ok, bad = quarantine(extract_media_features(media, decode="real"))
+    assert ok.count() == 0
+    errs = bad.toPandas()
+    assert len(errs) == 3
+    assert errs["error"].str.contains("NotImplementedError").all()
+
+
+def test_media_quarantine_isolates_bad_rows(spark):
+    media = synthesize_media(spark, n=6)
+    from podcast_audio_feature_extraction_spark.sources.multimodal import quarantine
+
+    ok, bad = quarantine(extract_media_features(media, decode="fake"))
+    assert bad.count() == 0
+    assert ok.count() > 0
+    assert "error" not in ok.columns
