@@ -22,7 +22,11 @@ from podcast_audio_feature_extraction_spark.operators.functionals import (
 )
 from podcast_audio_feature_extraction_spark.operators.rolling import token_count, turn_features
 from podcast_audio_feature_extraction_spark.operators.segments import build_segments, build_segments_sql
-from podcast_audio_feature_extraction_spark.operators.sessionize import session_bounds, sessionize
+from podcast_audio_feature_extraction_spark.operators.sessionize import (
+    session_bounds,
+    session_relative_features,
+    sessionize,
+)
 from podcast_audio_feature_extraction_spark.sources.events import TRANSCRIPT_SQL, load_transcript
 
 GAP_S = 1800.0
@@ -57,6 +61,23 @@ def q_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_transcript(spark, sf_dir)
     return session_bounds(sessionize(t, gap_s=GAP_S)).select(
         "conv_id", "session_id", "session_start", "session_end", "n_turns", "n_roles", "duration_s"
+    )
+
+
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-relative per-turn features (north_star sessionize output)."""
+    _utc(spark)
+    t = load_transcript(spark, sf_dir)
+    return session_relative_features(sessionize(t, gap_s=GAP_S)).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "session_id",
+        "turn_in_session",
+        "time_in_session_s",
+        "session_len",
+        "is_session_start",
+        "is_session_end",
     )
 
 
@@ -423,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize": q_sessionize,
         "session_bounds": q_session_bounds,
+        "session_features": q_session_features,
         "turn_features": q_turn_features,
         "window_functionals": q_window_functionals,
         "segments": q_segments,
@@ -481,6 +503,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_sessionize_sql()})
             GROUP BY conv_id, session_id
             """
+        ),
+        "session_features": _with_transcript(
+            """SELECT conv_id, turn_idx, ts, session_id, turn_in_session,
+                      time_in_session_s, session_len, is_session_start, is_session_end
+               FROM ("""
+            + _session_relative_sql()
+            + """)"""
         ),
         "turn_features": _with_transcript(turn_features_inner),
         "window_functionals": _with_transcript(window_functionals_sql(120, 60)),
@@ -679,6 +708,12 @@ def _text_quality_sql() -> str:
                {fingerprint_sql("text")} AS fingerprint
         FROM documents
     """
+
+
+def _session_relative_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.sessionize import session_relative_sql
+
+    return session_relative_sql(_sessionize_sql())
 
 
 def _sessionize_sql() -> str:

@@ -66,6 +66,52 @@ def session_bounds(
     )
 
 
+def session_relative_features(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    tie_col: str = "turn_idx",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Session-relative per-turn features (requires ``sessionize`` first):
+
+    - turn_in_session: 0-based position within the session
+    - time_in_session_s: seconds since the session's first turn
+    - session_len: total turns in the session (window, no extra shuffle —
+      same (conv, session) partitioning as the other two)
+    - is_session_start / is_session_end flags
+    """
+    w = Window.partitionBy(conv_col, session_col).orderBy(ts_col, tie_col)
+    full = Window.partitionBy(conv_col, session_col)
+    return (
+        df.withColumn("turn_in_session", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn(
+            "time_in_session_s",
+            (ts_micros(ts_col) - F.min(ts_micros(ts_col)).over(full)) / F.lit(1e6),
+        )
+        .withColumn("session_len", F.count(F.lit(1)).over(full).cast("int"))
+        .withColumn("is_session_start", (F.col("turn_in_session") == 0).cast("int"))
+        .withColumn("is_session_end", (F.col("turn_in_session") == F.col("session_len") - 1).cast("int"))
+    )
+
+
+def session_relative_sql(src: str) -> str:
+    """DuckDB twin of :func:`session_relative_features` (src must already
+    carry session_id)."""
+    return f"""
+        SELECT *,
+            CAST(row_number() OVER ord - 1 AS INT) AS turn_in_session,
+            (epoch_us(ts) - min(epoch_us(ts)) OVER w_all) / 1e6 AS time_in_session_s,
+            CAST(count(*) OVER w_all AS INT) AS session_len,
+            CAST(row_number() OVER ord = 1 AS INT) AS is_session_start,
+            CAST(row_number() OVER ord = count(*) OVER w_all AS INT) AS is_session_end
+        FROM ({src})
+        WINDOW
+            ord AS (PARTITION BY conv_id, session_id ORDER BY ts, turn_idx),
+            w_all AS (PARTITION BY conv_id, session_id)
+    """
+
+
 def sessionize_sql(
     gap_s: float = 1800.0,
     src: str = "transcript",
