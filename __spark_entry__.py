@@ -316,6 +316,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), cents, k=10, nprobe=4)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup mode; exact at CI scale —
+    threshold 0.4 because the synthetic vectors are near-orthogonal)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(e, threshold=0.4)
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (grouping-sets family)."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + language-ID + BPE-ish token count + fingerprint."""
     _utc(spark)
@@ -464,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "dedup_embedding": q_dedup_embedding,
+        "rollup_revenue": q_rollup_revenue,
         "text_quality": q_text_quality,
         "search_topk": q_search_topk,
         "argmax_match": q_argmax_match,
@@ -578,6 +609,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("brute"),
         "ann_lsh": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh"),
         "text_quality": _text_quality_sql(),
+        "dedup_embedding": _embedding_near_dup_sql(),
+        "rollup_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "search_topk": _with_transcript(
             f", segments AS ({build_segments_sql(120, 60)}) " + _search_sql()
         ),
@@ -608,6 +648,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
     }
+
+
+def _embedding_near_dup_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.similarity import embedding_near_dup_sql
+
+    return embedding_near_dup_sql(64, threshold=0.4)
 
 
 def _search_eval_sql() -> str:

@@ -167,6 +167,44 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup mode): (a, b, cos) with
+    a < b and cos >= threshold.
+
+    n_bits=0 compares all pairs (exact; quadratic — CI scale); n_bits>0
+    restricts to sign-LSH bucket collisions (the 100 TB path: candidates
+    drop ~2^n_bits-fold; near-dups at cos>=0.95 collide in leading-sign
+    buckets with high probability)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if n_bits > 0:
+        a = a.withColumn("bucket", sign_bucket_col("v_a", n_bits))
+        b = b.withColumn("bucket", sign_bucket_col("v_b", n_bits))
+        cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("cos", cosine_col(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_near_dup_sql(dim: int, threshold: float = 0.95, src: str = "embeddings") -> str:
+    cos = _cos_sql("a.embedding", "b.embedding", dim)
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+        FROM {src} a JOIN {src} b ON a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
 def _cos_sql(a: str, b: str, dim: int) -> str:
     def dot(x, y):
         return (
