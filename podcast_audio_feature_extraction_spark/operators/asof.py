@@ -43,8 +43,13 @@ def asof_join_union(
     right_tie_cols: list[str] | None = None,
     inclusive: bool = True,
     left_tie_cols: list[str] | None = None,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """As-of join via the union trick (strategy 1).
+
+    ``tolerance_s``: matches older than this many seconds are nulled out
+    (pd.merge_asof ``tolerance`` semantics) — a stale feature is worse
+    than no feature for point-in-time training data.
 
     Two tie regimes at equal ts:
 
@@ -75,6 +80,7 @@ def asof_join_union(
         F.lit(r_side).alias("__side"),
         *[F.col(c).cast("long").alias(f"__tie{i}") for i, c in enumerate(right_tie_cols)],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *([F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__v__rts")] if tolerance_s is not None else []),
     )
     left_tie_exprs = (
         [F.col(c).cast("long").alias(f"__tie{i}") for i, c in enumerate(left_tie_cols)]
@@ -91,13 +97,20 @@ def asof_join_union(
     else:
         order = [F.col("__ts"), F.col("__side"), *ties]
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    for c in value_cols:
+    carried = list(value_cols) + (["_rts"] if tolerance_s is not None else [])
+    for c in carried:
         unioned = unioned.withColumn(f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
 
     out = unioned.filter(F.col("__side") == l_side)
+    if tolerance_s is not None:
+        fresh = (
+            F.unix_micros(F.col("__ts").cast("timestamp")) - F.col("__v__rts")
+        ) <= F.lit(int(tolerance_s * 1_000_000))
+        for c in value_cols:
+            out = out.withColumn(f"__v_{c}", F.when(fresh, F.col(f"__v_{c}")))
     for c in value_cols:
         out = out.withColumn(c, F.col(f"__v_{c}"))
-    drop = ["__ts", "__side"] + [f"__v_{c}" for c in value_cols] + [f"__tie{i}" for i in range(len(right_tie_cols))]
+    drop = ["__ts", "__side"] + [f"__v_{c}" for c in carried] + [f"__tie{i}" for i in range(len(right_tie_cols))]
     return out.drop(*drop)
 
 
@@ -108,10 +121,13 @@ def asof_join_cogroup(
     ts_col: str = "ts",
     value_cols: list[str] | None = None,
     inclusive: bool = True,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """As-of join via cogrouped ``pd.merge_asof`` (strategy 2)."""
     import pandas as pd
     from pyspark.sql import types as T
+
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
 
     keys = _as_list(on)
     value_cols = value_cols or [c for c in right.columns if c not in keys + [ts_col]]
@@ -137,6 +153,7 @@ def asof_join_cogroup(
             rdf[[ts_col] + value_cols],
             on=ts_col,
             allow_exact_matches=inclusive,
+            tolerance=tol,
             suffixes=("", "__r"),
         )
         return merged[[f.name for f in out_fields]]
@@ -159,10 +176,13 @@ def asof_join(
     strategy: str = "union",
     right_tie_cols: list[str] | None = None,
     left_tie_cols: list[str] | None = None,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Dispatch between the two physical as-of strategies."""
     if strategy == "union":
-        return asof_join_union(left, right, on, ts_col, value_cols, right_tie_cols, inclusive, left_tie_cols)
+        return asof_join_union(
+            left, right, on, ts_col, value_cols, right_tie_cols, inclusive, left_tie_cols, tolerance_s
+        )
     if strategy == "cogroup":
-        return asof_join_cogroup(left, right, on, ts_col, value_cols, inclusive)
+        return asof_join_cogroup(left, right, on, ts_col, value_cols, inclusive, tolerance_s)
     raise ValueError(f"unknown as-of strategy: {strategy!r}")

@@ -66,3 +66,38 @@ def test_asof_no_temporal_leakage(spark, asof_data):
     f = with_future.sort_values(["conv_id", "ts"], kind="mergesort")["feat"].to_numpy(dtype=float)
     both_nan = np.isnan(b) & np.isnan(f)
     assert (both_nan | (b == f)).all()
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_asof_tolerance_matches_merge_asof(spark, asof_data, strategy):
+    """Stale matches (older than tolerance) are nulled, like
+    pd.merge_asof(tolerance=...)."""
+    lpdf, rpdf, lsdf, rsdf = asof_data
+    tol = 1000.0
+    got = (
+        asof_join(
+            lsdf, rsdf, value_cols=["feat"], strategy=strategy, tolerance_s=tol,
+            right_tie_cols=["ridx"] if strategy == "union" else None,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    outs = []
+    for key, lg in lpdf.groupby("conv_id", sort=True):
+        rg = rpdf[rpdf["conv_id"] == key]
+        lg = lg.sort_values("ts", kind="mergesort")
+        if rg.empty:
+            lg = lg.copy(); lg["feat"] = np.nan
+            outs.append(lg)
+            continue
+        outs.append(
+            pd.merge_asof(lg, rg.sort_values("ts")[["ts", "feat"]], on="ts",
+                          tolerance=pd.Timedelta(seconds=tol))
+        )
+    want = pd.concat(outs).sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+    g = got["feat"].astype(float).to_numpy()
+    w = want["feat"].astype(float).to_numpy()
+    both_nan = np.isnan(g) & np.isnan(w)
+    assert (both_nan | (g == w)).all()
+    assert np.isnan(w).any()  # tolerance actually nulled something
