@@ -81,6 +81,21 @@ def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-embedding UDF (E5 analog) checked against an
+    independent pure-SQL reimplementation of the same spec in DuckDB."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.functions.embedding import with_embedding
+
+    t = load_transcript(spark, sf_dir)
+    out = with_embedding(t.select("conv_id", "turn_idx", "text"), dim=16)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias("embedding"),
+    )
+
+
 TURN_FEATURE_COLS = [
     "conv_id",
     "turn_idx",
@@ -474,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_bounds": q_session_bounds,
         "session_features": q_session_features,
+        "turn_embedding": q_turn_embedding,
         "turn_features": q_turn_features,
         "window_functionals": q_window_functionals,
         "segments": q_segments,
@@ -542,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
             + _session_relative_sql()
             + """)"""
         ),
+        "turn_embedding": _with_transcript(_turn_embedding_sql(dim=16)),
         "turn_features": _with_transcript(turn_features_inner),
         "window_functionals": _with_transcript(window_functionals_sql(120, 60)),
         "segments": _with_transcript(build_segments_sql(120, 60)),
@@ -753,6 +770,36 @@ def _text_quality_sql() -> str:
                {lang_guess_sql("text")} AS lang_guess,
                {fingerprint_sql("text")} AS fingerprint
         FROM documents
+    """
+
+
+def _turn_embedding_sql(dim: int) -> str:
+    """Pure-SQL reimplementation of functions/embedding.py's spec:
+    idx = uint32_be(md5[0:4]) % dim; sign = +1 if md5 byte 4 is even;
+    L2-normalize. md5 digests are identical across engines, so this is an
+    independent cross-check of the Arrow pandas UDF."""
+    toks = "list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')"
+    # per token: bucket = CAST('0x'||substr(md5,1,8) AS BIGINT) % dim;
+    # sign from byte 4 = hex chars 9..10
+    contrib = (
+        f"list_transform({toks}, t -> struct_pack("
+        f"b := CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {dim} AS INT), "
+        f"s := CASE WHEN CAST('0x' || substr(md5(t), 9, 2) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END))"
+    )
+    raw = (
+        f"list_transform(range({dim}), d -> "
+        f"list_sum(list_transform(list_filter({contrib}, c -> c.b = d), c -> c.s)))"
+    )
+    return f"""
+        SELECT conv_id, turn_idx,
+               CASE WHEN __n > 0
+                    THEN list_transform(__raw, x -> round(COALESCE(x, 0.0) / __n, 6))
+                    ELSE list_transform(__raw, x -> COALESCE(x, 0.0)) END AS embedding
+        FROM (
+            SELECT conv_id, turn_idx, __raw,
+                   sqrt(list_sum(list_transform(__raw, x -> COALESCE(x, 0.0) * COALESCE(x, 0.0)))) AS __n
+            FROM (SELECT conv_id, turn_idx, {raw} AS __raw FROM transcript)
+        )
     """
 
 
