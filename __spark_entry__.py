@@ -83,7 +83,11 @@ def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_turn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-embedding UDF (E5 analog) checked against an
-    independent pure-SQL reimplementation of the same spec in DuckDB."""
+    independent pure-SQL reimplementation of the same spec in DuckDB.
+
+    The vector is exploded to one (conv_id, turn_idx, dim_idx, emb_val)
+    row per dimension: the driver's canonicalizer sorts result frames and
+    cannot hash array cells, so the comparison surface must be scalar."""
     _utc(spark)
     from podcast_audio_feature_extraction_spark.functions.embedding import with_embedding
 
@@ -92,8 +96,8 @@ def q_turn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "conv_id",
         "turn_idx",
-        F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias("embedding"),
-    )
+        F.posexplode(F.col("embedding")).alias("dim_idx", "emb_val"),
+    ).select("conv_id", "turn_idx", "dim_idx", F.round("emb_val", 6).alias("emb_val"))
 
 
 TURN_FEATURE_COLS = [
@@ -253,6 +257,15 @@ def q_rerank_entertaining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_transcript(spark, sf_dir)
     return rerank_mood(mood_scores(t), "entertaining", num=10)
+
+
+def q_rerank_subjective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: 'subjective' mood rerank (reference search.py:391-420)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores, rerank_mood
+
+    t = load_transcript(spark, sf_dir)
+    return rerank_mood(mood_scores(t), "subjective", num=10)
 
 
 def q_rerank_discussion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_scores": q_mood_scores,
         "rerank_topical": q_rerank_topical,
         "rerank_entertaining": q_rerank_entertaining,
+        "rerank_subjective": q_rerank_subjective,
         "rerank_discussion": q_rerank_discussion,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -618,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "rerank_entertaining": _with_transcript(_rerank_mood_sql("entertaining")),
+        "rerank_subjective": _with_transcript(_rerank_mood_sql("subjective")),
         "rerank_discussion": _with_transcript(_rerank_mood_sql("discussion")),
         "dedup_minhash": "WITH documents_src AS (SELECT * FROM documents)"
         + _minhash_sql(),
@@ -790,16 +805,22 @@ def _turn_embedding_sql(dim: int) -> str:
         f"list_transform(range({dim}), d -> "
         f"list_sum(list_transform(list_filter({contrib}, c -> c.b = d), c -> c.s)))"
     )
+    # exploded to (conv_id, turn_idx, dim_idx, emb_val) rows: the driver
+    # canonicalizer cannot sort/hash list cells (round-1 red row)
     return f"""
-        SELECT conv_id, turn_idx,
-               CASE WHEN __n > 0
-                    THEN list_transform(__raw, x -> round(COALESCE(x, 0.0) / __n, 6))
-                    ELSE list_transform(__raw, x -> COALESCE(x, 0.0)) END AS embedding
+        SELECT conv_id, turn_idx, CAST(d.range AS INT) AS dim_idx,
+               embedding[d.range + 1] AS emb_val
         FROM (
-            SELECT conv_id, turn_idx, __raw,
-                   sqrt(list_sum(list_transform(__raw, x -> COALESCE(x, 0.0) * COALESCE(x, 0.0)))) AS __n
-            FROM (SELECT conv_id, turn_idx, {raw} AS __raw FROM transcript)
-        )
+            SELECT conv_id, turn_idx,
+                   CASE WHEN __n > 0
+                        THEN list_transform(__raw, x -> round(COALESCE(x, 0.0) / __n, 6))
+                        ELSE list_transform(__raw, x -> round(COALESCE(x, 0.0), 6)) END AS embedding
+            FROM (
+                SELECT conv_id, turn_idx, __raw,
+                       sqrt(list_sum(list_transform(__raw, x -> COALESCE(x, 0.0) * COALESCE(x, 0.0)))) AS __n
+                FROM (SELECT conv_id, turn_idx, {raw} AS __raw FROM transcript)
+            )
+        ) CROSS JOIN range({dim}) d
     """
 
 

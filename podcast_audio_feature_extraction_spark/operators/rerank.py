@@ -135,8 +135,15 @@ def rerank_mood(scores: DataFrame, mood: str, num: int = 10) -> DataFrame:
         .select("seg_id", "rerank_score", F.lit(0).alias("pri"), "rk")
     )
     n_acc = accepted.agg(F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("__k"))
+    # The LITERAL rk <= num filter comes FIRST so Catalyst's
+    # LimitPushDownThroughWindow/InferWindowGroupLimit fires and the branch
+    # is bounded to num rows before the single-partition window; the
+    # dynamic rk <= num - __k then runs on that tiny result. Filtering on
+    # the non-literal bound alone planned as Exchange SinglePartition ->
+    # full Sort over the ENTIRE scores table (round-1 scale bug).
     fallback = (
         scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= num)
         .crossJoin(F.broadcast(n_acc))
         .filter(F.col("rk") <= F.lit(num) - F.col("__k"))
         .select("seg_id", "rerank_score", F.lit(1).alias("pri"), "rk")

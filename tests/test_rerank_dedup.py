@@ -44,6 +44,22 @@ def test_rerank_mood_fallback_preserves_duplicates(spark, scores_sdf):
     assert len(got) == 3
 
 
+def test_rerank_mood_fallback_plan_is_bounded(spark, scores_sdf):
+    # Round-1 scale bug: the fallback's non-literal rk <= num - __k filter
+    # planned as Exchange SinglePartition -> full Sort over ALL scores.
+    # With the literal rk <= num filter first, both branches must plan as
+    # TakeOrderedAndProject (bounded top-k) with no single-partition sort.
+    # Catalyst skips the rewrite when the input's maxRows is already <= the
+    # limit, so the probe input must be bigger than num (100 rows >> 3).
+    big = scores_sdf
+    for _ in range(5):
+        big = big.unionByName(big)
+    big = big.repartition(4)  # hide maxRows-from-LocalRelation shortcuts
+    plan = rerank_mood(big, "entertaining", num=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2  # accepted + fallback
+
+
 def test_rerank_mood_no_fallback_when_full(spark, scores_sdf):
     got = rerank_mood(scores_sdf, "entertaining", num=2).toPandas()
     assert (got["pri"] == 0).all() and len(got) == 2
