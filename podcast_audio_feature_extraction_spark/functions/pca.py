@@ -24,10 +24,12 @@ from pyspark.sql.window import Window
 
 def fit_pca_whitener(df: DataFrame, vec_col: str = "embedding", sample_rows: int = 10_000, clip: float = 2.0):
     """Fit mean + whitening matrix on a bounded sample (deterministic:
-    ordered limit, not a random sample)."""
-    id_cols = [c for c in df.columns if c != vec_col][:1]
-    sample = df.select(vec_col).orderBy(*id_cols) if id_cols else df.select(vec_col)
-    pdf = sample.limit(sample_rows).toPandas()
+    ordered limit over ALL non-vector columns — ordering by a single
+    non-unique column would leave orderBy+limit tie order up to the
+    partitioning and the fitted matrix could vary between runs)."""
+    id_cols = [c for c in df.columns if c != vec_col]
+    sample = df.select(vec_col, *id_cols).orderBy(*id_cols) if id_cols else df.select(vec_col)
+    pdf = sample.select(vec_col).limit(sample_rows).toPandas()
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     mean = x.mean(axis=0)
     cov = np.cov(x - mean, rowvar=False, ddof=0)

@@ -34,6 +34,21 @@ def _as_list(x) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+def _validate_tie_cols(df: DataFrame, tie_cols: list[str]) -> None:
+    """Tie columns participate in the window ordering via cast('long');
+    a non-integral column would cast to NULL for every row and silently
+    destroy tie-break determinism — fail loudly instead."""
+    from pyspark.sql import types as T
+
+    for c in tie_cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            raise TypeError(
+                f"as-of tie column {c!r} has non-integral type {dt.simpleString()}; "
+                "tie columns must be integer-ordered (e.g. turn_idx)"
+            )
+
+
 def asof_join_union(
     left: DataFrame,
     right: DataFrame,
@@ -69,18 +84,27 @@ def asof_join_union(
     paired = left_tie_cols is not None
     if paired and len(left_tie_cols) != len(right_tie_cols):
         raise ValueError("left_tie_cols and right_tie_cols must pair up")
+    _validate_tie_cols(right, right_tie_cols)
+    if paired:
+        _validate_tie_cols(left, left_tie_cols)
 
     # side: right rows must sort before (inclusive) / after (exclusive)
     # left rows at an equal effective time key so `last(..., ignorenulls)`
     # sees exactly the legal right rows.
     r_side, l_side = (0, 1) if inclusive else (1, 0)
+    # ALL carried values (and the freshness ts) travel as ONE struct per
+    # right row, so every column comes from the SAME newest matching right
+    # row. Carrying columns independently (round-1 design) silently filled
+    # a NULL value on the newest right row from a stale older row.
+    payload = [F.col(c).alias(c) for c in value_cols]
+    if tolerance_s is not None:
+        payload.append(F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__rts"))
     tagged_r = right.select(
         *keys,
         F.col(ts_col).alias("__ts"),
         F.lit(r_side).alias("__side"),
         *[F.col(c).cast("long").alias(f"__tie{i}") for i, c in enumerate(right_tie_cols)],
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-        *([F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__v__rts")] if tolerance_s is not None else []),
+        F.struct(*payload).alias("__rp"),
     )
     left_tie_exprs = (
         [F.col(c).cast("long").alias(f"__tie{i}") for i, c in enumerate(left_tie_cols)]
@@ -97,20 +121,17 @@ def asof_join_union(
     else:
         order = [F.col("__ts"), F.col("__side"), *ties]
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    carried = list(value_cols) + (["_rts"] if tolerance_s is not None else [])
-    for c in carried:
-        unioned = unioned.withColumn(f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
+    unioned = unioned.withColumn("__rp", F.last(F.col("__rp"), ignorenulls=True).over(w))
 
     out = unioned.filter(F.col("__side") == l_side)
     if tolerance_s is not None:
         fresh = (
-            F.unix_micros(F.col("__ts").cast("timestamp")) - F.col("__v__rts")
+            F.unix_micros(F.col("__ts").cast("timestamp")) - F.col("__rp.__rts")
         ) <= F.lit(int(tolerance_s * 1_000_000))
-        for c in value_cols:
-            out = out.withColumn(f"__v_{c}", F.when(fresh, F.col(f"__v_{c}")))
+        out = out.withColumn("__rp", F.when(fresh, F.col("__rp")))
     for c in value_cols:
-        out = out.withColumn(c, F.col(f"__v_{c}"))
-    drop = ["__ts", "__side"] + [f"__v_{c}" for c in carried] + [f"__tie{i}" for i in range(len(right_tie_cols))]
+        out = out.withColumn(c, F.col(f"__rp.{c}"))
+    drop = ["__ts", "__side", "__rp"] + [f"__tie{i}" for i in range(len(right_tie_cols))]
     return out.drop(*drop)
 
 

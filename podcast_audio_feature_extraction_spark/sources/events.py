@@ -11,7 +11,8 @@ Mapping (events -> input_hint schema):
     turn_idx = row_number() over (partition by user_id order by ts, event_id) - 1
     role     = case event_type: view|click->user, purchase->assistant,
                error->tool, signup->system
-    text     = event_type || ' ' || props
+    text     = concat_ws(' ', event_type, props)   (NULL-skipping in BOTH
+               dialects — DuckDB's || would NULL-propagate and diverge)
     tool     = 'retry' for error, 'checkout' for purchase, else null
     ts       = ts
     val      = value   (extra numeric column feeding windowed functionals,
@@ -32,7 +33,7 @@ TRANSCRIPT_SQL = """
             WHEN 'view' THEN 'user' WHEN 'click' THEN 'user'
             WHEN 'purchase' THEN 'assistant' WHEN 'error' THEN 'tool'
             ELSE 'system' END                                                  AS role,
-        event_type || ' ' || props                                             AS text,
+        concat_ws(' ', event_type, props)                                      AS text,
         CASE event_type WHEN 'error' THEN 'retry'
                         WHEN 'purchase' THEN 'checkout' END                    AS tool,
         ts                                                                     AS ts,

@@ -101,3 +101,56 @@ def test_asof_tolerance_matches_merge_asof(spark, asof_data, strategy):
     both_nan = np.isnan(g) & np.isnan(w)
     assert (both_nan | (g == w)).all()
     assert np.isnan(w).any()  # tolerance actually nulled something
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_asof_null_value_on_newest_right_row_wins(spark, strategy):
+    """A NULL value column on the newest matching right row must surface as
+    NULL (pd.merge_asof semantics) — not silently fall back to a stale
+    older right row's value (round-1 union-trick bug)."""
+    lpdf = pd.DataFrame({"conv_id": ["k", "k"], "ts": pd.to_datetime([100, 200], unit="s")})
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["k", "k"],
+            "ts": pd.to_datetime([50, 150], unit="s"),
+            "feat": [1.0, None],
+            "other": [10.0, 20.0],
+        }
+    )
+    lsdf, rsdf = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    got = (
+        asof_join(lsdf, rsdf, value_cols=["feat", "other"], strategy=strategy)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # left ts=100 -> right ts=50 (feat=1.0); left ts=200 -> right ts=150
+    # whose feat is NULL: must stay NULL, while other comes from the SAME row
+    assert got.loc[0, "feat"] == 1.0 and got.loc[0, "other"] == 10.0
+    assert pd.isna(got.loc[1, "feat"])
+    assert got.loc[1, "other"] == 20.0
+
+
+def test_asof_tolerance_freshness_uses_matched_row(spark):
+    """Tolerance must be evaluated against the ts of the row the values come
+    from; with the struct carry they are the same row by construction."""
+    lpdf = pd.DataFrame({"conv_id": ["k"], "ts": pd.to_datetime([300], unit="s")})
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["k", "k"],
+            "ts": pd.to_datetime([100, 290], unit="s"),
+            "feat": [1.0, None],
+        }
+    )
+    lsdf, rsdf = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    got = asof_join(lsdf, rsdf, value_cols=["feat"], tolerance_s=60.0).toPandas()
+    # newest matching row is ts=290 (fresh, within 60s) with feat NULL ->
+    # NULL; the stale ts=100 row must not leak through the tolerance check
+    assert pd.isna(got.loc[0, "feat"])
+
+
+def test_asof_rejects_non_integral_tie_column(spark, asof_data):
+    _, _, lsdf, rsdf = asof_data
+    bad = rsdf.withColumn("ridx", rsdf["ridx"].cast("string"))
+    with pytest.raises(TypeError, match="non-integral"):
+        asof_join(lsdf, bad, value_cols=["feat"], right_tie_cols=["ridx"])
