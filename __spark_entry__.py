@@ -488,6 +488,16 @@ def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(results.select("topic_id", "seg_id", "rk"), qrels, k=10)
 
 
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/T1 full-fidelity analog: multi-field BM25 (seg_words^2 boost,
+    best-fields max) over the segment index, reference search.py:174-214."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk, conv_dimension
+
+    t = load_transcript(spark, sf_dir)
+    return bm25_topk(build_segments(t), "click error purchase", conv_dimension(t), k=100)
+
+
 def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-side candidate retrieval (S9/T1/J3): scored top-k segments."""
     _utc(spark)
@@ -527,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "text_quality": q_text_quality,
         "search_topk": q_search_topk,
+        "search_bm25": q_search_bm25,
         "argmax_match": q_argmax_match,
         "search_eval": q_search_eval,
         "shipping_priority": q_shipping_priority,
@@ -653,6 +664,9 @@ def oracle_sql() -> dict[str, str]:
         "search_topk": _with_transcript(
             f", segments AS ({build_segments_sql(120, 60)}) " + _search_sql()
         ),
+        "search_bm25": _with_transcript(
+            f", segments AS ({build_segments_sql(120, 60)}) " + _bm25_sql()
+        ),
         "argmax_match": """
             SELECT label,
                    CAST(sum(CAST(embedding[14] = list_max(embedding[2:64]) AS INT)) AS INT) AS n_match,
@@ -716,6 +730,12 @@ def _search_sql() -> str:
     from podcast_audio_feature_extraction_spark.operators.search import search_segments_sql
 
     return search_segments_sql("click error purchase", k=100)
+
+
+def _bm25_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk_sql
+
+    return bm25_topk_sql("click error purchase", k=100)
 
 
 def _mood_scores_sql() -> str:

@@ -57,3 +57,27 @@ def test_search_no_hits_is_empty(spark, transcripts_sdf):
     segs = build_segments(transcripts_sdf)
     got = search_segments(segs, "zzzznotaword", None, k=10).toPandas()
     assert len(got) == 0
+
+
+def test_bm25_idf_prefers_rarer_term(spark):
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk
+
+    # 'rare' appears in 1 of 10 docs, 'common' in 9 of 10; same tf -> the
+    # rare-term doc must outrank any common-term doc (idf dominates)
+    rows = [("c0_0", "rare filler words here")] + [
+        (f"c{i}_0", "common filler words here") for i in range(1, 10)
+    ]
+    seg = spark.createDataFrame(pd.DataFrame(rows, columns=["seg_id", "seg_words"]))
+    got = bm25_topk(seg, "rare common", k=10).toPandas().sort_values("bm25", ascending=False)
+    assert got.iloc[0]["seg_id"] == "c0_0"
+    assert got.iloc[0]["bm25"] > got.iloc[1]["bm25"]
+
+
+def test_bm25_length_normalization(spark):
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk
+
+    # same tf=1, shorter doc scores higher under b=0.75
+    rows = [("a_0", "hit short"), ("b_0", "hit " + "pad " * 30)]
+    seg = spark.createDataFrame(pd.DataFrame(rows, columns=["seg_id", "seg_words"]))
+    got = bm25_topk(seg, "hit", k=10).toPandas().set_index("seg_id")["bm25"]
+    assert got["a_0"] > got["b_0"]
