@@ -120,6 +120,10 @@ TURN_FEATURE_COLS = [
     "roll_val_std",
     "roll_val_min",
     "roll_val_max",
+    "roll_val_p20",
+    "roll_val_p80",
+    "roll_val_slope",
+    "roll_val_cv",
 ]
 
 
@@ -130,8 +134,19 @@ def q_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = turn_features(t, k=ROLL_K, val_col="val")
     # round running float aggregates: Spark and DuckDB accumulate in
     # different orders/algorithms, identical only to ~1e-12 relative
-    for c in ("roll_token_mean", "roll_token_std", "roll_val_mean", "roll_val_std"):
-        out = out.withColumn(c, F.round(c, 6))
+    for c in (
+        "roll_token_mean",
+        "roll_token_std",
+        "roll_val_mean",
+        "roll_val_std",
+        "roll_val_p20",
+        "roll_val_p80",
+        "roll_val_slope",
+        "roll_val_cv",
+    ):
+        # + 0.0 normalizes IEEE -0.0 (round of a tiny negative slope) so
+        # the driver's string canonicalizer can't see a '-0' vs '0' split
+        out = out.withColumn(c, F.round(c, 6) + F.lit(0.0))
     return out.select(*TURN_FEATURE_COLS)
 
 
@@ -555,7 +570,11 @@ def oracle_sql() -> dict[str, str]:
                roll_token_min, roll_token_max, roll_tool_cnt,
                round(roll_val_mean, 6)   AS roll_val_mean,
                round(roll_val_std, 6)    AS roll_val_std,
-               roll_val_min, roll_val_max
+               roll_val_min, roll_val_max,
+               round(roll_val_p20, 6) + 0.0   AS roll_val_p20,
+               round(roll_val_p80, 6) + 0.0   AS roll_val_p80,
+               round(roll_val_slope, 6) + 0.0 AS roll_val_slope,
+               round(roll_val_cv, 6) + 0.0    AS roll_val_cv
         FROM (
             {_inner_turn_features_sql()}
         )

@@ -5,22 +5,41 @@ descriptors over 0.96 s windows hopped 0.48 s
 (/root/reference/data/custom_FrameModeFunctionals.conf.inc:8-11,
 /root/reference/src/features/OpenSmileExtractor.py:21-27) and the 120 s /
 60 s-step segment windows (/root/reference/src/search/index.py:79-81).
+The functional set follows the eGeMAPS breadth (88 functionals, CLEF §4.1):
+mean, population stddev, min/max, percentiles (p20/median/p80), the linear
+slope over the window, and the stddev-normalized mean (coefficient of
+variation) — the families named in the eGeMAPS spec and visible in the
+reference's metric names (``*_stddevNorm``, ``slopeUV500-1500_amean``,
+/root/reference/src/search/metrics.py:36-54).
 
-``F.window(ts, length, hop)`` IS the overlapping-window interval join
-(each row lands in length/hop windows); origin is epoch 0 and windows are
-left-closed right-open, exactly the reference's ``range(0, end, 60)``
-segment enumeration. The groupBy is a single shuffle on
-(conv_id, window) with map-side partial aggregation — at 100 TB this is
-the cheapest possible plan: no self-join, no explode beyond the
-length/hop duplication factor.
+Window assignment is the explicit shift-expand: each row is replicated
+once per hop offset and lands in the length/hop fixed-origin windows
+covering its ts — exactly what ``F.window(ts, length, hop)`` compiles to
+(Expand -> Filter -> Aggregate), but with the window start materialized as
+a real per-row attribute so per-row window-relative expressions (the
+slope's time axis) are expressible. One shuffle on (conv_id, win_start)
+with map-side partial aggregation — at 100 TB this is the cheapest
+possible plan: no self-join, no explode beyond the length/hop duplication
+factor.
 
-Parity notes: population stddev (numpy ddof=0); `percentile(col, 0.5)`
-is exact linear interpolation (DuckDB twin: quantile_cont).
+Parity notes: population stddev (numpy ddof=0); `percentile(col, q)` is
+exact linear interpolation (DuckDB twin: quantile_cont); the slope's time
+axis is window-relative seconds in [0, length) so the covariance math
+never touches epoch-scale magnitudes (cross-engine stable at 6 decimals).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from podcast_audio_feature_extraction_spark.functions.time import ts_micros
+
+
+def _dur_s(spec: str) -> int:
+    """Parse '120 seconds' / '2 minutes' to whole seconds."""
+    num, unit = spec.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60}[unit]
+    return int(num) * mult
 
 
 def window_functionals(
@@ -34,35 +53,76 @@ def window_functionals(
 ) -> DataFrame:
     """Per (conv_id, sliding window) functional aggregates of ``val_col``.
 
-    ``round_digits`` rounds the float aggregates (mean/std/median) so
-    cross-engine comparisons (Spark partial-agg vs single-node oracle)
-    are stable in the last ulp; pass None for raw doubles.
+    ``round_digits`` rounds the float aggregates so cross-engine
+    comparisons (Spark partial-agg vs single-node oracle) are stable in
+    the last ulp; pass None for raw doubles.
     """
-    win = F.window(F.col(ts_col), length, hop)
+    length_s, hop_s = _dur_s(length), _dur_s(hop)
+    if length_s % hop_s:
+        raise ValueError("window length must be a multiple of hop")
+    n_shifts = length_s // hop_s
 
     def _r(c):
         return F.round(c, round_digits) if round_digits is not None else c
 
+    us = ts_micros(F.col(ts_col))
+    # same construction as the DuckDB twin: floor to the hop grid in
+    # seconds, shift back 0..n_shifts-1 hops
+    base_s = F.floor(us / F.lit(1e6) / F.lit(hop_s)).cast("long") * F.lit(hop_s)
+    expanded = (
+        df.select(
+            F.col(conv_col),
+            F.col(val_col).cast("double").alias("__v"),
+            us.alias("__us"),
+            base_s.alias("__base_s"),
+            F.explode(F.array(*[F.lit(i * hop_s) for i in range(n_shifts)])).alias("__shift_s"),
+        )
+        .select("*", (F.col("__base_s") - F.col("__shift_s")).alias("__ws_s"))
+        .filter(
+            (F.col("__us") >= F.col("__ws_s") * F.lit(1_000_000))
+            & (F.col("__us") < (F.col("__ws_s") + F.lit(length_s)) * F.lit(1_000_000))
+        )
+        .withColumn("__x", (F.col("__us") - F.col("__ws_s") * F.lit(1_000_000)) / F.lit(1e6))
+    )
+    v, x = F.col("__v"), F.col("__x")
+    mean = F.avg(v)
+    std = F.coalesce(F.stddev_pop(v), F.lit(0.0))
     return (
-        df.groupBy(F.col(conv_col), win.alias("win"))
+        expanded.groupBy(conv_col, "__ws_s")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r(F.avg(val_col)).alias("val_mean"),
-            _r(F.coalesce(F.stddev_pop(val_col), F.lit(0.0))).alias("val_std"),
-            F.min(val_col).alias("val_min"),
-            F.max(val_col).alias("val_max"),
-            _r(F.percentile(F.col(val_col), F.lit(0.5))).alias("val_median"),
+            _r(mean).alias("val_mean"),
+            _r(std).alias("val_std"),
+            F.min(v).alias("val_min"),
+            F.max(v).alias("val_max"),
+            _r(F.percentile(v, F.lit(0.2))).alias("val_p20"),
+            _r(F.percentile(v, F.lit(0.5))).alias("val_median"),
+            _r(F.percentile(v, F.lit(0.8))).alias("val_p80"),
+            # + 0.0 normalizes IEEE -0.0 from rounding tiny negatives
+            (
+                _r(F.when(F.var_pop(x) > 0, F.covar_pop(x, v) / F.var_pop(x)).otherwise(F.lit(0.0)))
+                + F.lit(0.0)
+            ).alias("val_slope"),
+            (_r(F.when(mean != 0, std / mean).otherwise(F.lit(0.0))) + F.lit(0.0)).alias("val_cv"),
         )
         .select(
             conv_col,
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
+            # cast to NTZ (session tz is pinned UTC): the driver parquet ts
+            # is NTZ and the DuckDB twin's make_timestamp is tz-naive — a
+            # tz-aware win_start would reach pandas as UTC-aware and
+            # mismatch the oracle's naive values
+            F.timestamp_seconds(F.col("__ws_s")).cast("timestamp_ntz").alias("win_start"),
+            F.timestamp_seconds(F.col("__ws_s") + F.lit(length_s)).cast("timestamp_ntz").alias("win_end"),
             "n",
             "val_mean",
             "val_std",
             "val_min",
             "val_max",
+            "val_p20",
             "val_median",
+            "val_p80",
+            "val_slope",
+            "val_cv",
         )
     )
 
@@ -73,7 +133,7 @@ def window_functionals_sql(
     src: str = "transcript",
     round_digits: int = 6,
 ) -> str:
-    """DuckDB twin. Spark's F.window(length, hop) assigns each row to the
+    """DuckDB twin. Spark's shift-expand assigns each row to the
     length/hop fixed-origin windows covering its ts; for length=2*hop that
     is exactly the two shifted tumbling buckets below."""
     n_shifts = length_s // hop_s
@@ -90,10 +150,22 @@ def window_functionals_sql(
                round(COALESCE(stddev_pop(val), 0.0), {round_digits}) AS val_std,
                min(val) AS val_min,
                max(val) AS val_max,
-               round(quantile_cont(val, 0.5), {round_digits}) AS val_median
+               round(quantile_cont(val, 0.2), {round_digits}) AS val_p20,
+               round(quantile_cont(val, 0.5), {round_digits}) AS val_median,
+               round(quantile_cont(val, 0.8), {round_digits}) AS val_p80,
+               round(CASE WHEN var_pop(x) > 0 THEN covar_pop(x, val) / var_pop(x)
+                          ELSE 0.0 END, {round_digits}) + 0.0 AS val_slope,
+               round(CASE WHEN avg(val) <> 0
+                          THEN COALESCE(stddev_pop(val), 0.0) / avg(val)
+                          ELSE 0.0 END, {round_digits}) + 0.0 AS val_cv
         FROM (
-            SELECT t.*, make_timestamp((CAST(floor(epoch_us(ts) / 1e6 / {hop_s}) AS BIGINT) * {hop_s} - off.o) * 1000000) AS win_start
-            FROM {src} t CROSS JOIN (VALUES {shifts}) AS off(o)
+            SELECT t.*,
+                   make_timestamp(ws_s * 1000000) AS win_start,
+                   (epoch_us(ts) - ws_s * 1000000) / 1e6 AS x
+            FROM (
+                SELECT t0.*, CAST(floor(epoch_us(ts) / 1e6 / {hop_s}) AS BIGINT) * {hop_s} - off.o AS ws_s
+                FROM {src} t0 CROSS JOIN (VALUES {shifts}) AS off(o)
+            ) t
         )
         WHERE epoch_us(ts) >= epoch_us(win_start)
           AND epoch_us(ts) <  epoch_us(win_start) + {length_s} * 1000000

@@ -57,18 +57,26 @@ def turn_features(
         F.col("tool").isNotNull().cast("int").alias("is_tool_use"),
     ).withColumn("__token_cnt_d", F.col("token_cnt").cast("double"))
 
-    # stage 1: ONE window pass for all lag/lead context
+    # stage 1: ONE window pass for all lag/lead context, plus the
+    # conversation's first ts (whole-partition frame) so the rolling
+    # slope's time axis is conversation-relative seconds — subtracting in
+    # integer micros BEFORE the double division keeps it exact (an
+    # epoch-scale double subtraction loses ~1e-7 s, which the slope
+    # amplifies when turns cluster tightly)
+    whole = Window.partitionBy(conv_col)
     ctx = base.select(
         "*",
         F.lag("role").over(order).alias("prev_role"),
         F.lead("role").over(order).alias("next_role"),
         F.lag(ts_micros(ts_col)).over(order).alias("__prev_us"),
+        F.min(ts_micros(ts_col)).over(whole).alias("__conv_t0_us"),
     ).select(
         "*",
         F.when(F.col("prev_role").isNull(), F.lit(1))
         .otherwise((F.col("role") != F.col("prev_role")).cast("int"))
         .alias("role_changed"),
         F.coalesce((ts_micros(ts_col) - F.col("__prev_us")) / F.lit(1e6), F.lit(0.0)).alias("gap_s"),
+        ((ts_micros(ts_col) - F.col("__conv_t0_us")) / F.lit(1e6)).alias("__t_rel"),
     )
 
     # stage 2: ONE window pass for every trailing-frame functional
@@ -81,13 +89,26 @@ def turn_features(
         F.sum("role_changed").over(trail).cast("int").alias("roll_role_changes"),
     ]
     if val_col is not None and val_col in df.columns:
+        v = F.col(val_col)
+        var_x = F.var_pop("__t_rel").over(trail)
+        mean_v = F.avg(val_col).over(trail)
         roll_exprs += [
-            F.avg(val_col).over(trail).alias("roll_val_mean"),
+            mean_v.alias("roll_val_mean"),
             F.coalesce(F.stddev_pop(val_col).over(trail), F.lit(0.0)).alias("roll_val_std"),
             F.min(val_col).over(trail).alias("roll_val_min"),
             F.max(val_col).over(trail).alias("roll_val_max"),
+            # eGeMAPS breadth (conf.inc:8-11 / CLEF §4.1): percentiles,
+            # linear slope over the frame, stddev-normalized mean (CoV)
+            F.percentile(v, F.lit(0.2)).over(trail).alias("roll_val_p20"),
+            F.percentile(v, F.lit(0.8)).over(trail).alias("roll_val_p80"),
+            F.when(var_x > 0, F.covar_pop(F.col("__t_rel"), v).over(trail) / var_x)
+            .otherwise(F.lit(0.0))
+            .alias("roll_val_slope"),
+            F.when(mean_v != 0, F.stddev_pop(val_col).over(trail) / mean_v)
+            .otherwise(F.lit(0.0))
+            .alias("roll_val_cv"),
         ]
-    return ctx.select("*", *roll_exprs).drop("__token_cnt_d", "__prev_us")
+    return ctx.select("*", *roll_exprs).drop("__token_cnt_d", "__prev_us", "__conv_t0_us", "__t_rel")
 
 
 FUNCTIONAL_COLS = [
@@ -124,7 +145,15 @@ def turn_features_sql(k: int = 5, src: str = "transcript", with_val: bool = True
             avg(val) OVER trail                      AS roll_val_mean,
             COALESCE(stddev_pop(val) OVER trail, 0.0) AS roll_val_std,
             min(val) OVER trail                      AS roll_val_min,
-            max(val) OVER trail                      AS roll_val_max"""
+            max(val) OVER trail                      AS roll_val_max,
+            quantile_cont(val, 0.2) OVER trail       AS roll_val_p20,
+            quantile_cont(val, 0.8) OVER trail       AS roll_val_p80,
+            CASE WHEN var_pop(t_rel) OVER trail > 0
+                 THEN covar_pop(t_rel, val) OVER trail / (var_pop(t_rel) OVER trail)
+                 ELSE 0.0 END                        AS roll_val_slope,
+            CASE WHEN avg(val) OVER trail <> 0
+                 THEN stddev_pop(val) OVER trail / (avg(val) OVER trail)
+                 ELSE 0.0 END                        AS roll_val_cv"""
         if with_val
         else ""
     )
@@ -133,7 +162,8 @@ def turn_features_sql(k: int = 5, src: str = "transcript", with_val: bool = True
             SELECT *,
                 CAST(len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '')) AS INT) AS token_cnt,
                 CAST(length(COALESCE(text, '')) AS INT) AS char_len,
-                CAST(tool IS NOT NULL AS INT) AS is_tool_use
+                CAST(tool IS NOT NULL AS INT) AS is_tool_use,
+                (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY conv_id)) / 1e6 AS t_rel
             FROM {src}
         )
         SELECT *,

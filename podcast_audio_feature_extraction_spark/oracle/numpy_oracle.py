@@ -114,7 +114,11 @@ def sliding_window_functionals_np(
     pdf = sort_transcript(pdf)
     recs = []
     for conv, g in pdf.groupby("conv_id", sort=True):
-        ts = g["ts"].astype("int64").to_numpy() / 1e9
+        # integer microseconds throughout, like the engine: subtracting the
+        # window start from an epoch-scale DOUBLE loses ~1e-7 s, which the
+        # slope amplifies when rows cluster tightly in time
+        us = g["ts"].astype("int64").to_numpy() // 1000
+        ts = us / 1e6
         vals = g[val_col].to_numpy(dtype=np.float64)
         n_back = int(np.ceil(length_s / hop_s))
         starts = set()
@@ -129,6 +133,10 @@ def sliding_window_functionals_np(
             v = vals[m]
             if v.size == 0:
                 continue
+            # window-relative seconds via integer-micros subtraction (exact)
+            x = (us[m] - int(round(s * 1e6))) / 1e6
+            xc = x - x.mean()
+            varx = float((xc * xc).mean())
             recs.append(
                 {
                     "conv_id": conv,
@@ -138,7 +146,11 @@ def sliding_window_functionals_np(
                     "std": float(v.std(ddof=0)),
                     "min": float(v.min()),
                     "max": float(v.max()),
+                    "p20": float(np.percentile(v, 20, method="linear")),
                     "median": float(np.percentile(v, 50, method="linear")),
+                    "p80": float(np.percentile(v, 80, method="linear")),
+                    "slope": float((xc * (v - v.mean())).mean() / varx) if varx > 0 else 0.0,
+                    "cv": float(v.std(ddof=0) / v.mean()) if v.mean() != 0 else 0.0,
                 }
             )
     return pd.DataFrame(recs)

@@ -30,7 +30,11 @@ def test_window_functionals_match_numpy_oracle(spark, transcripts_pdf):
     assert (got["conv_id"].to_numpy() == want["conv_id"].to_numpy()).all()
     assert (got["win_start"].to_numpy() == want["win_start"].to_numpy()).all()
     np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
-    for s, w in (("val_mean", "mean"), ("val_std", "std"), ("val_min", "min"), ("val_max", "max"), ("val_median", "median")):
+    for s, w in (
+        ("val_mean", "mean"), ("val_std", "std"), ("val_min", "min"), ("val_max", "max"),
+        ("val_p20", "p20"), ("val_median", "median"), ("val_p80", "p80"),
+        ("val_slope", "slope"), ("val_cv", "cv"),
+    ):
         np.testing.assert_allclose(got[s].to_numpy(), want[w].to_numpy(), rtol=1e-9, atol=1e-12, err_msg=s)
 
 
