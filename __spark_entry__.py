@@ -503,6 +503,40 @@ def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(results.select("topic_id", "seg_id", "rk"), qrels, k=10)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J4 generic range-fetch: per assistant turn ('candidate'), fetch
+    the user turns in its non-grid [ts, ts+90s) slice and aggregate —
+    reference search.py:311-322's per-segment ranged read. The Spark plan
+    is a bucketed-range EQUI-join (never a nested-loop theta join)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.interval import interval_join
+
+    t = load_transcript(spark, sf_dir)
+    cands = t.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        F.col("turn_idx").alias("cand_idx"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 90 SECONDS")).alias("end"),
+    )
+    pts = t.filter(F.col("role") == "user").select("conv_id", "ts", "val")
+    hits = interval_join(pts, cands, on="conv_id", ts_col="ts")
+    agg = hits.groupBy("conv_id", "cand_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_pts"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+    )
+    # left-attach so candidates whose slice is empty stay (n_pts = 0)
+    return (
+        cands.select("conv_id", "cand_idx")
+        .join(agg, ["conv_id", "cand_idx"], "left")
+        .select(
+            "conv_id",
+            "cand_idx",
+            F.coalesce(F.col("n_pts"), F.lit(0)).alias("n_pts"),
+            "avg_val",
+        )
+    )
+
+
 def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/T1 full-fidelity analog: multi-field BM25 (seg_words^2 boost,
     best-fields max) over the segment index, reference search.py:174-214."""
@@ -532,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_functionals": q_window_functionals,
         "segments": q_segments,
         "asof_backfill": q_asof_backfill,
+        "interval_join": q_interval_join,
         "pricing_summary": q_pricing_summary,
         "topk_orders": q_topk_orders,
         "semijoin_customers": q_semijoin_customers,
@@ -606,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_features": _with_transcript(turn_features_inner),
         "window_functionals": _with_transcript(window_functionals_sql(120, 60)),
         "segments": _with_transcript(build_segments_sql(120, 60)),
+        "interval_join": _with_transcript(_interval_fetch_sql()),
         "asof_backfill": _with_transcript(
             """
             , r0 AS (
@@ -749,6 +785,12 @@ def _search_sql() -> str:
     from podcast_audio_feature_extraction_spark.operators.search import search_segments_sql
 
     return search_segments_sql("click error purchase", k=100)
+
+
+def _interval_fetch_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.interval import interval_fetch_sql
+
+    return interval_fetch_sql(src="transcript", length_s=90)
 
 
 def _bm25_sql() -> str:
