@@ -348,14 +348,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (coarse k-means quantizer + nprobe buckets).
-    No oracle_sql: the quantizer is an iterative driver-side k-means —
-    non-SQL-expressible; correctness is pinned by tests/test_ivf.py
-    (recall vs the oracle-checked brute force)."""
+
+    The quantizer is fitted ONCE, deterministically, with pure numpy from
+    the parquet sample (fit_ivf_centroids_local); the DuckDB twin embeds
+    the same centroids as literals, so assignment + probe are plain SQL
+    and the whole query is oracle-checked (rows-only in round 1).
+    Recall-vs-bruteforce is additionally pinned by tests/test_ivf.py."""
     _utc(spark)
-    from podcast_audio_feature_extraction_spark.operators.similarity import fit_ivf_centroids, ivf_topk
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        fit_ivf_centroids_local,
+        ivf_topk,
+    )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = fit_ivf_centroids(e, n_centroids=16, iters=8)
+    cents = fit_ivf_centroids_local(f"{sf_dir}/embeddings.parquet", n_centroids=16, iters=8)
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), cents, k=10, nprobe=4)
 
 
@@ -367,6 +373,27 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_pairs(e, threshold=0.4)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs in the BUCKETED mode (n_bits>0): sign-LSH
+    collision candidates via equi-join — the 100 TB path, oracle-checked
+    here (round 1 only verified the quadratic n_bits=0 mode)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(e, threshold=0.4, n_bits=4)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with prefix-bucket blocking (the scale path:
+    equi-join on the top 12 bits, hamming verify on collisions only)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.dedup import simhash_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(d, max_hamming=24, prefix_bits=12)
 
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "simhash_pairs": q_simhash_pairs,
         "rollup_revenue": q_rollup_revenue,
         "text_quality": q_text_quality,
         "search_topk": q_search_topk,
@@ -708,6 +737,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh"),
         "text_quality": _text_quality_sql(),
         "dedup_embedding": _embedding_near_dup_sql(),
+        "dedup_embedding_lsh": _embedding_near_dup_lsh_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "ann_ivf": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ivf_sql(),
         "rollup_revenue": """
             SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                    COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -755,6 +787,36 @@ def _embedding_near_dup_sql() -> str:
     from podcast_audio_feature_extraction_spark.operators.similarity import embedding_near_dup_sql
 
     return embedding_near_dup_sql(64, threshold=0.4)
+
+
+def _embedding_near_dup_lsh_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.similarity import embedding_near_dup_lsh_sql
+
+    return embedding_near_dup_lsh_sql(64, threshold=0.4, n_bits=4)
+
+
+def _simhash_pairs_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.dedup import simhash_pairs_sql
+
+    return simhash_pairs_sql(src="documents", max_hamming=24, prefix_bits=12)
+
+
+def _ivf_sql() -> str:
+    """IVF twin: the quantizer is fitted deterministically from the SAME
+    parquet the Spark query reads (fit is pure numpy on an ordered sample,
+    so both sides get bit-identical centroids) and embedded as literals.
+    The gate runs at sf0.01; tools/check_oracle.py exports
+    SPARK_GRAFT_ORACLE_SF when checking another scale."""
+    import os
+
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        fit_ivf_centroids_local,
+        ivf_topk_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    cents = fit_ivf_centroids_local(f"{sf_dir}/embeddings.parquet", n_centroids=16, iters=8)
+    return ivf_topk_sql(cents, dim=64, k=10, nprobe=4, src="embeddings")
 
 
 def _search_eval_sql() -> str:

@@ -231,6 +231,26 @@ def simhash_sql(src: str = "documents", id_col: str = "doc_id", bits: int = 60) 
     """
 
 
+def simhash_pairs_sql(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    max_hamming: int = 24,
+    prefix_bits: int = 12,
+    bits: int = 60,
+) -> str:
+    """DuckDB twin of :func:`simhash_pairs` — same prefix-bucket blocking
+    (the 100 TB path: equi-join on the top bits, hamming verify only on
+    bucket collisions)."""
+    return f"""
+        WITH __sh AS ({simhash_sql(src, id_col, bits)}),
+        __b AS (SELECT doc_id, simhash, simhash >> {bits - prefix_bits} AS bucket FROM __sh)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM __b a JOIN __b b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: groups by content hash, keeps the min id."""
     return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(

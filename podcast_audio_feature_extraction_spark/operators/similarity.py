@@ -86,6 +86,23 @@ def lsh_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def _kmeans_core(x, n_centroids: int, iters: int, seed: int):
+    """Deterministic Lloyd k-means in float64 (shared by the Spark-sample
+    and parquet-local fit paths so both produce bit-identical centroids)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            m = assign == c
+            if m.any():
+                centroids[c] = x[m].mean(axis=0)
+    return centroids
+
+
 def fit_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -102,16 +119,34 @@ def fit_ivf_centroids(
 
     pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    rng = np.random.default_rng(seed)
-    centroids = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    for _ in range(iters):
-        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(centroids)):
-            m = assign == c
-            if m.any():
-                centroids[c] = x[m].mean(axis=0)
-    return centroids
+    return _kmeans_core(x, n_centroids, iters, seed)
+
+
+def fit_ivf_centroids_local(
+    parquet_path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 20_000,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Same fit straight from a parquet file with DuckDB+numpy (no Spark).
+
+    The sample is the same ordered limit as :func:`fit_ivf_centroids`, so
+    both paths yield bit-identical centroids — this is how the DuckDB twin
+    of the IVF query gets the quantizer as plain literals (assignment and
+    probe are then ordinary SQL)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM '{parquet_path}' ORDER BY {id_col} LIMIT {sample_rows}"
+    ).fetchdf()
+    con.close()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return _kmeans_core(x, n_centroids, iters, seed)
 
 
 def _nearest_centroids_udf(centroids, nprobe: int):
@@ -123,9 +158,10 @@ def _nearest_centroids_udf(centroids, nprobe: int):
     @F.pandas_udf(ArrayType(IntegerType()))
     def nearest(vecs: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argpartition for top-nprobe
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; stable sort pins the
+        # lowest-centroid-id-wins tie rule the SQL twin uses (ORDER BY d, cid)
         d = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
-        idx = np.argsort(d, axis=1)[:, :nprobe]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in idx])
 
     return nearest
@@ -202,6 +238,81 @@ def embedding_near_dup_sql(dim: int, threshold: float = 0.95, src: str = "embedd
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
         FROM {src} a JOIN {src} b ON a.vec_id < b.vec_id
         WHERE {cos} >= {threshold}
+    """
+
+
+def _bucket_sql(n_bits: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range({n_bits}), i -> "
+        f"CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+def embedding_near_dup_lsh_sql(dim: int, threshold: float = 0.95, src: str = "embeddings", n_bits: int = 4) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_pairs` with ``n_bits > 0``
+    — the bucketed (100 TB) mode: candidates restricted to sign-bucket
+    collisions, an equi-join instead of the quadratic cross join."""
+    cos = _cos_sql("a.embedding", "b.embedding", dim)
+    return f"""
+        WITH __b AS (SELECT vec_id, embedding, {_bucket_sql(n_bits)} AS bucket FROM {src})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+        FROM __b a JOIN __b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def ivf_topk_sql(
+    centroids,
+    dim: int,
+    k: int = 10,
+    nprobe: int = 4,
+    src: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` with the fitted centroids embedded
+    as LITERALS (full float64 round-trip via %.17g): given a fixed
+    quantizer, assignment (argmin distance) and probing (nprobe nearest)
+    are plain SQL. Distance uses the same -2*x.c + ||c||^2 form as the
+    Spark-side pandas UDF, ties broken by lowest centroid id in both."""
+    rows = ", ".join(
+        "(" + str(ci) + ", [" + ", ".join(f"{v:.17g}" for v in c) + "]::DOUBLE[])"
+        for ci, c in enumerate(centroids)
+    )
+
+    def dist(vec: str) -> str:
+        dot_xc = (
+            f"list_reduce(list_transform(range({dim}), i -> "
+            f"CAST({vec}[i+1] AS DOUBLE) * cvec[i+1]), (p, q) -> p + q)"
+        )
+        cc = f"list_reduce(list_transform(range({dim}), i -> cvec[i+1] * cvec[i+1]), (p, q) -> p + q)"
+        return f"(-2.0 * {dot_xc} + {cc})"
+
+    cos = _cos_sql("q.q_vec", "c.c_vec", dim)
+    return f"""
+        , __cent AS (SELECT * FROM (VALUES {rows}) AS t(cid, cvec)),
+        __ca AS (
+            SELECT vec_id AS c_id, embedding AS c_vec, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY {dist("embedding")} ASC, cid ASC) AS rn
+            FROM {src} CROSS JOIN __cent
+        ),
+        __c AS (SELECT c_id, c_vec, cid AS centroid_id FROM __ca WHERE rn = 1),
+        __q2 AS (
+            SELECT vec_id AS q_id, embedding AS q_vec, cid AS centroid_id
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist("e.embedding")} ASC, c.cid ASC) AS rn
+                FROM {src} e CROSS JOIN __cent c
+                WHERE {query_pred.replace("vec_id", "e.vec_id")}
+            ) WHERE rn <= {nprobe}
+        ),
+        __scored AS (
+            SELECT q.q_id, c.c_id, {cos} AS cos
+            FROM __c c JOIN __q2 q USING (centroid_id) WHERE c.c_id <> q.q_id
+        )
+        SELECT q_id, c_id, cos, rk FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rk
+            FROM __scored
+        ) WHERE rk <= {k}
     """
 
 

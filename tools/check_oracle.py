@@ -45,6 +45,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    # data-derived oracle constants (IVF centroid literals) follow the sf_dir
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as entrymod
     from podcast_audio_feature_extraction_spark.session import get_spark
 
