@@ -258,19 +258,7 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    group_col: str = "source",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = SHINGLE_K,
-    round_digits: int = 6,
-) -> DataFrame:
-    """All-pairs n-gram Jaccard within a blocking group (J2-style blocked
-    theta join; blocking keeps the pair count bounded)."""
-    docs = df.select(
-        F.col(group_col).alias("grp"), F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("sh")
-    )
+def _block_all_pairs(docs: DataFrame, round_digits: int) -> DataFrame:
     a = docs.select("grp", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select("grp", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -278,3 +266,64 @@ def ngram_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("grp", "doc_a", "doc_b", jaccard_col(F.col("sh_a"), F.col("sh_b"), round_digits).alias("jaccard"))
     )
+
+
+def _block_lsh_pairs(
+    docs: DataFrame, round_digits: int, n_hashes: int = 12, band_size: int = 3
+) -> DataFrame:
+    """Within-group pairs via minhash-LSH banding — candidates only, exact
+    Jaccard verified on collisions. The reroute target for blocks too big
+    to all-pairs."""
+    n_bands = n_hashes // band_size
+    bands = docs.withColumn("minhashes", minhash_col(F.col("sh"), n_hashes)).select(
+        "grp",
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(F.array_join(F.slice(F.col("minhashes"), b * band_size + 1, band_size), "|")),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select("grp", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band_idx", "band_key")
+    b = bands.select("grp", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["grp", "band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["grp", "doc_a", "doc_b"])
+        .select("grp", "doc_a", "doc_b", jaccard_col(F.col("sh_a"), F.col("sh_b"), round_digits).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    round_digits: int = 6,
+    max_block: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard pairs within a blocking group (J2-style blocked
+    theta join; blocking keeps the pair count bounded).
+
+    ``max_block`` bounds the quadratic exposure: a block of B docs costs
+    B^2/2 pairs, so at 100x data a popular block would dominate the job.
+    Blocks larger than ``max_block`` are REROUTED through minhash-LSH
+    candidate generation (same band scheme as :func:`minhash_lsh_pairs`)
+    instead of being silently dropped — high-Jaccard pairs still surface
+    (near-dups collide in bands w.h.p.), only the hopeless low-similarity
+    tail of a huge block is skipped. None = all-pairs everywhere (exact;
+    CI scale)."""
+    docs = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("sh")
+    )
+    if max_block is None:
+        return _block_all_pairs(docs, round_digits)
+    from pyspark.sql.window import Window
+
+    sized = docs.withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    small = sized.filter(F.col("__n") <= max_block).drop("__n")
+    big = sized.filter(F.col("__n") > max_block).drop("__n")
+    return _block_all_pairs(small, round_digits).unionByName(_block_lsh_pairs(big, round_digits))

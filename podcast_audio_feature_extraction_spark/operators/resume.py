@@ -90,6 +90,8 @@ def run_resumable(
         "rows_out": 0,
         "wall_s": 0.0,
     }
+    from pyspark.sql import Observation
+
     src = source.withColumn("bucket", bucket_col(key_col, n_buckets))
     for i in range(0, len(todo), batch_size):
         batch = todo[i : i + batch_size]
@@ -97,6 +99,15 @@ def run_resumable(
         out = transform(src.filter(F.col("bucket").isin(batch)))
         if "bucket" not in out.columns:
             out = out.withColumn("bucket", bucket_col(key_col, n_buckets))
+        # per-bucket row counts ride along as observed metrics of the write
+        # job itself — recomputing them with a separate groupBy/collect
+        # (round-1 design) re-executed the whole transform, a 2x compute
+        # tax on every checkpointed batch
+        obs = Observation(f"resume-batch-{i}")
+        out = out.observe(
+            obs,
+            *[F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}") for b in batch],
+        )
         # land data first, then commit the manifest — a crash between the
         # two re-runs the batch (idempotent: partition dirs are overwritten)
         (
@@ -108,7 +119,8 @@ def run_resumable(
             .parquet(out_dir)
         )
         dt = time.perf_counter() - t0
-        counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+        metrics = obs.get
+        counts = {b: int(metrics[f"b{b}"] or 0) for b in batch}
         for b in batch:
             n = int(counts.get(b, 0))
             manifest["buckets"][str(b)] = {

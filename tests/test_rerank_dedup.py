@@ -142,3 +142,32 @@ def test_minhash_bucket_cap_prunes_degenerate_buckets(spark):
     pairs = set(zip(capped["doc_a"], capped["doc_b"]))
     assert (6, 7) in pairs
     assert all(a >= 6 for a, _ in pairs)  # hot bucket fully pruned
+
+
+def test_ngram_jaccard_max_block_reroutes_through_lsh(spark):
+    # group 'big' has 6 near-identical docs (> max_block) -> rerouted via
+    # LSH candidates: its high-jaccard pairs still surface; group 'small'
+    # stays exact all-pairs including zero-jaccard pairs
+    big_texts = [
+        f"the quick brown fox jumps over the lazy dog again and again day{i}" for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": ["big"] * 6 + ["small", "small"],
+                "doc_id": list(range(6)) + [10, 11],
+                "text": big_texts + ["a b c d", "e f g h"],
+            }
+        )
+    )
+    exact = ngram_jaccard_pairs(df).toPandas()
+    capped = ngram_jaccard_pairs(df, max_block=4).toPandas()
+    # small block identical in both (even the jaccard=0 pair is kept)
+    assert len(capped[capped["grp"] == "small"]) == 1
+    # big block: capped pairs are a subset of exact, and the near-dup
+    # pairs (high jaccard) are all retained by the LSH reroute
+    cp = set(zip(capped[capped.grp == "big"]["doc_a"], capped[capped.grp == "big"]["doc_b"]))
+    ep = set(zip(exact[exact.grp == "big"]["doc_a"], exact[exact.grp == "big"]["doc_b"]))
+    assert cp <= ep
+    hi = exact[(exact.grp == "big") & (exact.jaccard >= 0.5)]
+    assert set(zip(hi["doc_a"], hi["doc_b"])) <= cp

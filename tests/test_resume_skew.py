@@ -102,3 +102,26 @@ def test_repartition_range_sorted_is_sorted(spark, transcripts_sdf):
         return iter([])
 
     rp.rdd.mapPartitions(lambda it: check_sorted(it)).count()
+
+
+def test_resume_executes_transform_once_per_batch(spark, transcripts_sdf, tmp_path):
+    """The per-bucket row counts must ride the write job (df.observe), not
+    re-execute the transform (round-1 paid 2x compute per batch)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import IntegerType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(IntegerType())
+    def probe(x):
+        acc.add(1)
+        return 1
+
+    def counting_transform(df):
+        return df.withColumn("probe", probe(df["turn_idx"]))
+
+    out = str(tmp_path / "once")
+    run = run_resumable(counting_transform, transcripts_sdf, out, n_buckets=2, batch_size=2)
+    assert run["rows_out"] == transcripts_sdf.count()
+    # each row crosses the UDF exactly once (small slack for task retries)
+    assert acc.value == run["rows_out"]
