@@ -436,6 +436,34 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOK_MAX_LEN = 32
+
+
+def q_tokenize_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: tokenize + pad/truncate to a fixed max_len with attention mask
+    (reference search.py:244-275's BERT preprocessing shape), exploded to
+    (doc_id, pos, token_id, mask) scalar rows for the driver hash."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.functions.text import (
+        attention_mask_col,
+        tokenize_pad_col,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d2 = d.withColumn("tid", tokenize_pad_col(F.col("text"), TOK_MAX_LEN)).withColumn(
+        "m", attention_mask_col(F.col("text"), TOK_MAX_LEN)
+    )
+    return (
+        d2.select("doc_id", F.posexplode(F.arrays_zip("tid", "m")).alias("pos", "z"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("z.tid").alias("token_id"),
+            F.col("z.m").alias("mask"),
+        )
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style 3-way join + grouped agg + top-k."""
     _utc(spark)
@@ -619,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "argmax_match": q_argmax_match,
         "search_eval": q_search_eval,
+        "tokenize_pad": q_tokenize_pad,
         "shipping_priority": q_shipping_priority,
         "antijoin_customers": q_antijoin_customers,
         "json_extract": q_json_extract,
@@ -763,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "search_eval": _with_transcript(
             f", segments AS ({build_segments_sql(120, 60)}) " + _search_eval_sql()
         ),
+        "tokenize_pad": _tokenize_pad_sql(),
         "shipping_priority": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -909,6 +939,22 @@ def _ann_sql(kind: str) -> str:
     if kind == "brute":
         return brute_force_topk_sql(dim=64, k=10, src="embeddings")
     return lsh_topk_sql(dim=64, k=10, src="embeddings", n_bits=4)
+
+
+def _tokenize_pad_sql() -> str:
+    from podcast_audio_feature_extraction_spark.functions.text import tokenize_pad_sql
+
+    toks = "list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')"
+    return f"""
+        SELECT doc_id,
+               CAST(r.range AS INT) AS pos,
+               padded[r.range + 1] AS token_id,
+               CAST(CASE WHEN r.range < n THEN 1 ELSE 0 END AS INT) AS mask
+        FROM (
+            SELECT doc_id, {tokenize_pad_sql("text", TOK_MAX_LEN)} AS padded, len({toks}) AS n
+            FROM documents
+        ) CROSS JOIN range({TOK_MAX_LEN}) r
+    """
 
 
 def _text_quality_sql() -> str:

@@ -114,3 +114,44 @@ def fingerprint_sql(text_expr: str = "text", k: int = 3) -> str:
         f"i -> array_to_string({toks}[i+1:i+{k}], ' ')) ELSE [COALESCE({text_expr},'')] END"
     )
     return f"list_aggregate(list_transform(list_distinct({sh}), s -> md5(s)), 'min')"
+
+
+def token_ids_col(text_col: Column, vocab_size: int = 32768) -> Column:
+    """Portable hash-vocabulary token ids: md5 prefix mod (vocab_size-1),
+    shifted by 1 so id 0 stays reserved as the pad token (the BERT-style
+    preprocessing shape, /root/reference/src/search/search.py:244-275)."""
+    toks = tokens_col(text_col)
+    return F.transform(
+        toks,
+        lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % F.lit(vocab_size - 1) + 1).cast(
+            "int"
+        ),
+    )
+
+
+def tokenize_pad_col(text_col: Column, max_len: int = 32, vocab_size: int = 32768) -> Column:
+    """F10: tokenize then pad with 0 / truncate to EXACTLY ``max_len`` ids
+    (reference pads/truncates to 512 for the rerank model). One expression:
+    append max_len pads, slice to max_len."""
+    ids = token_ids_col(text_col, vocab_size)
+    return F.slice(F.concat(ids, F.array_repeat(F.lit(0), max_len)), 1, max_len)
+
+
+def attention_mask_col(text_col: Column, max_len: int = 32) -> Column:
+    """1 for real tokens, 0 for pads — same length contract as
+    :func:`tokenize_pad_col`."""
+    n = F.size(tokens_col(text_col))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(max_len - 1)), lambda i: F.when(i < n, 1).otherwise(0).cast("int")
+    )
+
+
+def tokenize_pad_sql(text_expr: str = "text", max_len: int = 32, vocab_size: int = 32768) -> str:
+    """DuckDB twin of :func:`tokenize_pad_col`."""
+    toks = f"list_filter(regexp_split_to_array(COALESCE({text_expr},''), '\\s+'), x -> x <> '')"
+    ids = (
+        f"list_transform({toks}, t -> "
+        f"CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {vocab_size - 1} + 1 AS INT))"
+    )
+    pads = f"list_transform(range({max_len}), i -> 0)"
+    return f"({ids} || {pads})[1:{max_len}]"

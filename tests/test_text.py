@@ -1,0 +1,50 @@
+import pandas as pd
+import pyspark.sql.functions as F
+
+from podcast_audio_feature_extraction_spark.functions.text import (
+    attention_mask_col,
+    lang_guess_col,
+    tokenize_pad_col,
+)
+
+
+def test_tokenize_pad_exact_length_and_pads(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["one two three", "", " ".join(str(i) for i in range(50))]})
+    )
+    got = (
+        df.select(
+            "doc_id",
+            tokenize_pad_col(F.col("text"), max_len=8).alias("ids"),
+            attention_mask_col(F.col("text"), max_len=8).alias("mask"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i in (1, 2, 3):
+        assert len(got.loc[i, "ids"]) == 8 and len(got.loc[i, "mask"]) == 8
+    # short doc: 3 real ids then zeros; mask matches
+    assert list(got.loc[1, "ids"][3:]) == [0] * 5
+    assert list(got.loc[1, "mask"]) == [1, 1, 1, 0, 0, 0, 0, 0]
+    assert all(t > 0 for t in got.loc[1, "ids"][:3])  # 0 reserved for pad
+    # empty doc: all pads
+    assert list(got.loc[2, "ids"]) == [0] * 8
+    # long doc: truncated, no pads, mask all ones
+    assert all(t > 0 for t in got.loc[3, "ids"]) and list(got.loc[3, "mask"]) == [1] * 8
+
+
+def test_lang_guess_basics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat is in the house and it was a day",
+                    "der hund ist nicht zu haus und ich bin da",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+    )
+    got = df.select("doc_id", lang_guess_col(F.col("text")).alias("lang")).toPandas().set_index("doc_id")["lang"]
+    assert got[1] == "en" and got[2] == "de" and got[3] == "unknown"
