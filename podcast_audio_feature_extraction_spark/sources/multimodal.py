@@ -5,12 +5,14 @@ The reference's audio path (ogg -> int16 PCM -> downmix -> windowed model,
 payload column -> decode -> per-window feature rows (1 media row in, n
 feature rows out — the UDTF shape, SURVEY.md §2.10 E5).
 
-The image/audio codec libraries are NOT in this container, so the decode
-step is STUBBED: ``decode="real"`` raises NotImplementedError with the
-intended implementation documented; ``decode="fake"`` is a deterministic
-byte-level decoder that keeps every Spark-side contract real and testable
-— schema, Arrow batch shape, mapInPandas plumbing, per-window fan-out,
-executor-singleton model slot.
+Codec coverage in this container: ``decode="real"`` REALLY decodes 16-bit
+PCM WAV (stdlib ``wave`` — the reference's int16 read + channel-mean
+downmix, exactly); compressed formats (ogg/png/mp4) raise
+NotImplementedError with the swap-in documented, since PIL/soundfile/pyav
+are absent here. ``decode="fake"`` is a deterministic byte-level decoder
+that keeps every Spark-side contract real and testable — schema, Arrow
+batch shape, mapInPandas plumbing, per-window fan-out, executor-singleton
+model slot, quarantine channel.
 """
 
 from __future__ import annotations
@@ -40,20 +42,41 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def synthesize_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+def _wav_bytes(rng, n_samples: int, n_ch: int = 2, rate: int = 16000) -> bytes:
+    """Real little WAV file (16-bit PCM) for exercising the real decoder."""
+    import io
+    import wave
+
+    pcm = rng.integers(-32768, 32767, size=(n_samples, n_ch), dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synthesize_media(spark: SparkSession, n: int = 32, seed: int = 42, wav_audio: bool = False) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes);
+    ``wav_audio=True`` makes audio payloads REAL 16-bit PCM WAV files so
+    the real decode path is exercised end-to-end."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         size = int(rng.integers(256, 4096))
+        if kind == "audio" and wav_audio:
+            payload = _wav_bytes(rng, n_samples=size)
+        else:
+            payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
         rows.append(
             {
                 "media_id": f"m{i:05d}",
                 "conv_id": f"c{i % 7}",
                 "kind": kind,
-                "payload": rng.integers(0, 256, size=size, dtype=np.uint8).tobytes(),
+                "payload": payload,
                 "mime": {"image": "image/png", "audio": "audio/ogg", "video": "video/mp4"}[kind],
                 "width": 64 if kind != "audio" else None,
                 "height": 64 if kind != "audio" else None,
@@ -64,12 +87,37 @@ def synthesize_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFr
     return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
 
 
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """REAL decode for PCM WAV via the stdlib ``wave`` module: 16-bit
+    frames -> channel-mean downmix -> /32768.0 — byte-for-byte the
+    reference's read path (YAMNetExtractor.py:69-70:
+    ``sf.read(dtype=int16)`` then ``np.mean(wav, axis=1)/32768.0``)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError(f"only 16-bit PCM supported, got sampwidth={w.getsampwidth()}")
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64).reshape(-1, n_ch)
+    return x.mean(axis=1) / 32768.0
+
+
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
+    if (
+        kind == "audio"
+        and payload is not None
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "real decode requires codec libs not present in this container: "
-        "image -> PIL.Image.open(BytesIO(payload)) -> np.asarray; "
-        "audio -> soundfile.read(BytesIO(payload), dtype='int16') -> "
-        "stereo downmix mean(axis=1)/32768.0 (YAMNetExtractor.py:69-70); "
+        "decode beyond PCM WAV requires codec libs not present in this "
+        "container: image -> PIL.Image.open(BytesIO(payload)) -> np.asarray; "
+        "compressed audio -> soundfile.read(BytesIO(payload), dtype='int16') "
+        "-> stereo downmix mean(axis=1)/32768.0 (YAMNetExtractor.py:69-70); "
         "video -> pyav frame iterator. Swap _decode for these on a real "
         "cluster — the mapInPandas plumbing below is unchanged."
     )
@@ -112,7 +160,9 @@ def extract_media_features(
                         starts = range(0, sig.size - window + 1, hop)
                         windows = [sig[s : s + window] for s in starts]
                     for fi, w in enumerate(windows):
-                        hist, _ = np.histogram(w, bins=FEATURE_DIM - 4, range=(0.0, 1.0))
+                        # (-1, 1) covers both decoders: fake bytes land in
+                        # [0, 1), real PCM downmix in [-1, 1]
+                        hist, _ = np.histogram(w, bins=FEATURE_DIM - 4, range=(-1.0, 1.0))
                         feat = np.concatenate(
                             [[w.mean(), w.std(), w.min(), w.max()], hist / max(w.size, 1)]
                         )

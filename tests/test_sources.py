@@ -85,18 +85,36 @@ def test_media_features_deterministic_fanout(spark):
     assert set(summary["media_id"]) == set(media.toPandas()["media_id"])
 
 
-def test_media_real_decode_is_explicit_stub(spark):
-    """decode='real' is stubbed: every item lands in the quarantine channel
-    with the NotImplementedError message (E2 fault isolation, not a task
-    failure)."""
+def test_media_real_decode_is_explicit_stub_for_compressed(spark):
+    """decode='real' on non-WAV payloads lands every item in the
+    quarantine channel with the NotImplementedError message (E2 fault
+    isolation, not a task failure)."""
     from podcast_audio_feature_extraction_spark.sources.multimodal import quarantine
 
-    media = synthesize_media(spark, n=3)
+    media = synthesize_media(spark, n=3)  # random-byte payloads, no RIFF
     ok, bad = quarantine(extract_media_features(media, decode="real"))
     assert ok.count() == 0
     errs = bad.toPandas()
     assert len(errs) == 3
     assert errs["error"].str.contains("NotImplementedError").all()
+
+
+def test_media_real_decode_wav_end_to_end(spark):
+    """16-bit PCM WAV payloads REALLY decode (stdlib wave): channel-mean
+    downmix /32768.0 like the reference; image/video stay quarantined."""
+    import numpy as np
+    from podcast_audio_feature_extraction_spark.sources.multimodal import quarantine
+
+    media = synthesize_media(spark, n=9, seed=7, wav_audio=True)
+    ok, bad = quarantine(extract_media_features(media, decode="real", window=64, hop=32))
+    okp = ok.toPandas()
+    assert set(okp["kind"]) == {"audio"}  # 3 of 9 items are audio
+    assert okp["media_id"].nunique() == 3
+    assert bad.count() == 6  # image + video quarantined
+    # downmix of int16 noise: mean ~0, |values| <= 1
+    feats = np.stack(okp["feature"])
+    assert np.abs(feats[:, 0]).max() < 0.5  # window means near zero
+    assert feats[:, 2].min() >= -1.0 and feats[:, 3].max() <= 1.0
 
 
 def test_media_quarantine_isolates_bad_rows(spark):
