@@ -75,6 +75,8 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
         "topk_orders",
         "doc_stats",
         "dedup_exact",
+        "search_bm25",
+        "interval_join",
     ]
     timings: dict[str, float] = {}
     for name in headline:

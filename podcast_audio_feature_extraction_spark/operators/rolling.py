@@ -98,9 +98,9 @@ def turn_features(
             F.min(val_col).over(trail).alias("roll_val_min"),
             F.max(val_col).over(trail).alias("roll_val_max"),
             # eGeMAPS breadth (conf.inc:8-11 / CLEF §4.1): percentiles,
-            # linear slope over the frame, stddev-normalized mean (CoV)
-            F.percentile(v, F.lit(0.2)).over(trail).alias("roll_val_p20"),
-            F.percentile(v, F.lit(0.8)).over(trail).alias("roll_val_p80"),
+            # linear slope over the frame, stddev-normalized mean (CoV).
+            # One array-percentile buffers the frame once for both points.
+            F.percentile(v, F.array(F.lit(0.2), F.lit(0.8))).over(trail).alias("__roll_pcts"),
             F.when(var_x > 0, F.covar_pop(F.col("__t_rel"), v).over(trail) / var_x)
             .otherwise(F.lit(0.0))
             .alias("roll_val_slope"),
@@ -108,7 +108,12 @@ def turn_features(
             .otherwise(F.lit(0.0))
             .alias("roll_val_cv"),
         ]
-    return ctx.select("*", *roll_exprs).drop("__token_cnt_d", "__prev_us", "__conv_t0_us", "__t_rel")
+    out = ctx.select("*", *roll_exprs)
+    if "__roll_pcts" in out.columns:
+        out = out.withColumns(
+            {"roll_val_p20": F.col("__roll_pcts")[0], "roll_val_p80": F.col("__roll_pcts")[1]}
+        ).drop("__roll_pcts")
+    return out.drop("__token_cnt_d", "__prev_us", "__conv_t0_us", "__t_rel")
 
 
 FUNCTIONAL_COLS = [
