@@ -346,6 +346,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10, n_bits=4)
 
 
+def q_ann_lsh_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH with proper RANDOM hyperplanes (seeded literal matrix —
+    the scale-grade cosine-LSH; plan identical to the axis-aligned mode)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.similarity import lsh_topk, random_planes
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10, planes=random_planes(4, 64))
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (coarse k-means quantizer + nprobe buckets).
 
@@ -478,6 +488,26 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(20)
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from lineitems
+    whose quantity is below 20% of their part's average quantity. Spark
+    plan: per-part aggregate joined back (Catalyst decorrelates the same
+    way) — no per-row subquery execution."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    avg_qty = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    return (
+        li.join(p.filter(F.col("p_brand") == "Brand#1"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
@@ -637,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_rand": q_ann_lsh_rand,
         "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -649,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_eval": q_search_eval,
         "tokenize_pad": q_tokenize_pad,
         "shipping_priority": q_shipping_priority,
+        "small_qty_revenue": q_small_qty_revenue,
         "antijoin_customers": q_antijoin_customers,
         "json_extract": q_json_extract,
     }
@@ -764,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "ann_bruteforce": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("brute"),
         "ann_lsh": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh"),
+        "ann_lsh_rand": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh_rand"),
         "text_quality": _text_quality_sql(),
         "dedup_embedding": _embedding_near_dup_sql(),
         "dedup_embedding_lsh": _embedding_near_dup_lsh_sql(),
@@ -801,6 +834,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderkey ASC LIMIT 20
+        """,
+        "small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = lineitem.l_partkey
+              )
         """,
         "antijoin_customers": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -934,10 +977,16 @@ def _ngram_jaccard_sql() -> str:
 
 
 def _ann_sql(kind: str) -> str:
-    from podcast_audio_feature_extraction_spark.operators.similarity import brute_force_topk_sql, lsh_topk_sql
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        brute_force_topk_sql,
+        lsh_topk_sql,
+        random_planes,
+    )
 
     if kind == "brute":
         return brute_force_topk_sql(dim=64, k=10, src="embeddings")
+    if kind == "lsh_rand":
+        return lsh_topk_sql(dim=64, k=10, src="embeddings", planes=random_planes(4, 64))
     return lsh_topk_sql(dim=64, k=10, src="embeddings", n_bits=4)
 
 

@@ -61,6 +61,46 @@ def sign_bucket_col(vec_col_name: str, n_bits: int = 8) -> Column:
     )
 
 
+def random_planes(n_bits: int, dim: int, seed: int = 42):
+    """Random-hyperplane matrix for proper cosine-LSH (the scale-grade
+    alternative to axis-aligned sign buckets). A deterministic literal —
+    broadcast into the Spark expression AND inlined into the DuckDB twin,
+    so the bucketing is engine-independent."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def plane_bucket_col(vec_col_name: str, planes) -> Column:
+    """Bucket = sign bits of the vector's projection onto each hyperplane.
+    Pure SQL expression (dot products against literal arrays) — stays in
+    whole-stage codegen, no Python crossing."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = ", ".join(f"{v:.17g}D" for v in p)
+        dot = (
+            f"aggregate(zip_with({vec_col_name}, array({arr}), (x, y) -> cast(x as double) * y), "
+            f"cast(0.0 as double), (a, b) -> a + b)"
+        )
+        bits.append(f"shiftleft(CASE WHEN {dot} >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, {i})")
+    return F.expr(" + ".join(bits))
+
+
+def plane_bucket_sql(vec_expr: str, planes, dim: int) -> str:
+    """DuckDB twin of :func:`plane_bucket_col` (same literals, same fold
+    order: ascending dimension index)."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = ", ".join(f"{v:.17g}" for v in p)
+        dot = (
+            f"list_reduce(list_transform(range({dim}), j -> "
+            f"CAST({vec_expr}[j+1] AS DOUBLE) * ([{arr}])[j+1]), (a, b) -> a + b)"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN (1::BIGINT << {i}) ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -68,15 +108,20 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 8,
+    planes=None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign bucket.
-    Equi-join on bucket replaces the cross join — the 100 TB-scale path."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sign_bucket_col(vec_col, n_bits).alias("bucket")
-    )
-    c = emb.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), sign_bucket_col(vec_col, n_bits).alias("bucket")
-    )
+    Equi-join on bucket replaces the cross join — the 100 TB-scale path.
+
+    ``planes`` (an (n_bits, dim) matrix from :func:`random_planes`) switches
+    the bucketing from axis-aligned sign bits to proper random-hyperplane
+    cosine-LSH; the plan shape is identical (the matrix is a literal)."""
+    if planes is not None:
+        bucket = plane_bucket_col(vec_col, planes)
+    else:
+        bucket = sign_bucket_col(vec_col, n_bits)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket"))
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), bucket.alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("c_id") != F.col("q_id"))
@@ -341,11 +386,21 @@ def brute_force_topk_sql(dim: int, k: int = 10, src: str = "embeddings", query_p
     """
 
 
-def lsh_topk_sql(dim: int, k: int = 10, src: str = "embeddings", query_pred: str = "vec_id < 5", n_bits: int = 8) -> str:
-    bucket = (
-        f"CAST(list_sum(list_transform(range({n_bits}), i -> "
-        f"CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
-    )
+def lsh_topk_sql(
+    dim: int,
+    k: int = 10,
+    src: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+    n_bits: int = 8,
+    planes=None,
+) -> str:
+    if planes is not None:
+        bucket = plane_bucket_sql("embedding", planes, dim)
+    else:
+        bucket = (
+            f"CAST(list_sum(list_transform(range({n_bits}), i -> "
+            f"CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+        )
     return f"""
         , __qb AS (SELECT vec_id AS q_id, embedding AS q_vec, {bucket} AS bucket FROM {src} WHERE {query_pred}),
         __cb AS (SELECT vec_id AS c_id, embedding AS c_vec, {bucket} AS bucket FROM {src}),
