@@ -27,15 +27,26 @@ def build_segments(
     hop: str = "60 seconds",
     conv_col: str = "conv_id",
     ts_col: str = "ts",
+    exact_speakers: bool = True,
 ) -> DataFrame:
+    """``exact_speakers=False`` switches seg_speakers to
+    approx_count_distinct: the exact form plans a 2-phase expand (one extra
+    shuffle on (conv, window, role)); the HLL sketch is a single map-side
+    partial aggregate — the 100 TB default when a ±2% speaker count is
+    acceptable (it usually is: the reference's seg_speakers feeds a
+    boolean-ish mood feature). Kept exact by default for reference parity
+    and the DuckDB oracle."""
     win = F.window(F.col(ts_col), length, hop)
     ordered = F.sort_array(F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col("turn_idx"), F.col("text"))))
+    speakers = (
+        F.count_distinct("role") if exact_speakers else F.approx_count_distinct("role")
+    )
     return (
         df.groupBy(F.col(conv_col), win.alias("win"))
         .agg(
             F.array_join(F.transform(ordered, lambda s: s["text"]), " ").alias("seg_words"),
             F.count(F.lit(1)).alias("n_turns"),
-            F.count_distinct("role").alias("seg_speakers"),
+            speakers.alias("seg_speakers"),
         )
         .select(
             F.concat_ws(

@@ -68,3 +68,16 @@ def test_segments_words_ordered_by_ts_turnidx(spark):
     assert first["seg_length"] == 4
     assert first["seg_speakers"] == 2
     assert first["seg_id"].startswith("c_")
+
+
+def test_segments_approx_speakers_drops_a_shuffle(spark, transcripts_sdf):
+    exact_plan = build_segments(transcripts_sdf)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = (
+        build_segments(transcripts_sdf, exact_speakers=False)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert approx_plan.count("Exchange") < exact_plan.count("Exchange")
+    # values stay sane: low-cardinality role column -> HLL is exact here
+    a = build_segments(transcripts_sdf, exact_speakers=False).toPandas()
+    e = build_segments(transcripts_sdf).toPandas()
+    m = a.sort_values("seg_id").reset_index(drop=True), e.sort_values("seg_id").reset_index(drop=True)
+    assert (m[0]["seg_speakers"].to_numpy() == m[1]["seg_speakers"].to_numpy()).all()
