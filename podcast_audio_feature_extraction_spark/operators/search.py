@@ -76,6 +76,21 @@ def _toks(col: Column) -> Column:
     return F.filter(F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+"), lambda x: x != "")
 
 
+def bm25_stats(seg_tokenized: DataFrame, terms: list[str], field_names: list[str]) -> DataFrame:
+    """One-pass corpus statistics (N, per-field avgdl, per-term df) as a
+    1-row DataFrame. In production this is computed once per index build
+    and STORED (the ES-index-stats analog) so each query is a single scan;
+    ``bm25_topk`` computes it inline when not supplied."""
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for f in field_names:
+        aggs.append(F.avg(F.col(f"__dl_{f}")).alias(f"__avgdl_{f}"))
+        for i, t in enumerate(terms):
+            aggs.append(
+                F.sum(F.array_contains(F.col(f"__toks_{f}"), t).cast("int")).cast("double").alias(f"__df_{f}_{i}")
+            )
+    return seg_tokenized.agg(*aggs)
+
+
 def bm25_topk(
     segments: DataFrame,
     query: str,
@@ -85,6 +100,7 @@ def bm25_topk(
     b: float = 0.75,
     words_boost: float = 2.0,
     dim_boost: float = 1.0,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """In-engine BM25 top-k — the reference's Elasticsearch ``multi_match``
     (/root/reference/src/search/search.py:174-214: fields
@@ -112,14 +128,8 @@ def bm25_topk(
             f"__dl_{f}", F.size(F.col(f"__toks_{f}")).cast("double")
         )
 
-    stats_aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
-    for f, _ in fields:
-        stats_aggs.append(F.avg(F.col(f"__dl_{f}")).alias(f"__avgdl_{f}"))
-        for i, t in enumerate(terms):
-            stats_aggs.append(
-                F.sum(F.array_contains(F.col(f"__toks_{f}"), t).cast("int")).cast("double").alias(f"__df_{f}_{i}")
-            )
-    stats = seg.agg(*stats_aggs)
+    if stats is None:
+        stats = bm25_stats(seg, terms, [f for f, _ in fields])
     scored = seg.crossJoin(F.broadcast(stats))
 
     field_scores = []

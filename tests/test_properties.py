@@ -88,3 +88,46 @@ def test_asof_property(lts, rts, inclusive):
     )
     both_nan = np.isnan(got) & np.isnan(want)
     assert (both_nan | (got == want)).all()
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pts_ts=st.lists(st.integers(min_value=0, max_value=5_000), min_size=1, max_size=30),
+    iv_spec=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000),  # start
+            st.integers(min_value=0, max_value=400),    # length (0 = empty)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bucket_s=st.sampled_from([7, 60, 250]),
+)
+def test_interval_join_matches_bruteforce(pts_ts, iv_spec, bucket_s):
+    """Bucketed-range equi-join == brute-force range predicate, for any
+    bucket size (incl. buckets much smaller/larger than the intervals)."""
+    from podcast_audio_feature_extraction_spark.operators.interval import interval_join
+
+    spark = _get_spark()
+    pts = pd.DataFrame(
+        {"conv_id": ["c"] * len(pts_ts), "ts": pd.to_datetime(pts_ts, unit="s"), "pt_id": range(len(pts_ts))}
+    )
+    iv = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(iv_spec),
+            "iv_id": range(len(iv_spec)),
+            "start": pd.to_datetime([s for s, _ in iv_spec], unit="s"),
+            "end": pd.to_datetime([s + l for s, l in iv_spec], unit="s"),
+        }
+    )
+    got = interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(iv), bucket_s=bucket_s
+    ).toPandas()
+    got_pairs = set(zip(got["pt_id"], got["iv_id"]))
+    want_pairs = set()
+    for _, p in pts.iterrows():
+        for _, v in iv.iterrows():
+            if v["start"] <= p["ts"] < v["end"]:
+                want_pairs.add((p["pt_id"], v["iv_id"]))
+    assert got_pairs == want_pairs
+    assert len(got) == len(got_pairs)  # exactly-once per matching pair
