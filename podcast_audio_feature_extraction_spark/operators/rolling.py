@@ -132,6 +132,10 @@ FUNCTIONAL_COLS = [
     "roll_val_std",
     "roll_val_min",
     "roll_val_max",
+    "roll_val_p20",
+    "roll_val_p80",
+    "roll_val_slope",
+    "roll_val_cv",
 ]
 
 

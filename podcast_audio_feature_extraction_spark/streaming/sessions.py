@@ -72,6 +72,44 @@ def sliding_window_counts_stream(
     )
 
 
+def sliding_window_functionals_stream(
+    df: DataFrame,
+    length: str = "120 seconds",
+    hop: str = "60 seconds",
+    watermark: str = "10 minutes",
+    val_col: str = "val",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming variant of the A1 windowed functionals with bounded state.
+
+    Emits the incrementally-mergeable subset (count/mean/pop-std/min/max —
+    constant state per open window); the exact percentiles/slope of the
+    batch ``window_functionals`` need the window's full value buffer and
+    belong to the batch/backfill path."""
+    v = F.col(val_col).cast("double")
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(conv_col), F.window(F.col(ts_col), length, hop).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(v).alias("val_mean"),
+            F.coalesce(F.stddev_pop(v), F.lit(0.0)).alias("val_std"),
+            F.min(v).alias("val_min"),
+            F.max(v).alias("val_max"),
+        )
+        .select(
+            conv_col,
+            F.col("win.start").alias("win_start"),
+            "n",
+            "val_mean",
+            "val_std",
+            "val_min",
+            "val_max",
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, spark: SparkSession) -> DataFrame:
     """Drive a streaming aggregation to completion with availableNow and
     return the materialized result (test/bench helper)."""
