@@ -425,6 +425,37 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-split (train/val/test) — per-split counts +
+    mean token count (split balance check, a training-data staple)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.sampling import split_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda x: x != "")
+    return (
+        d.select(
+            split_col(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+            F.size(toks).cast("int").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_tokens"), 6).alias("mean_tokens"))
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table near-dup contamination: minhash-LSH band collisions
+    between a pseudo-corpus and a pseudo-benchmark derived from the same
+    documents table (doc_id mod 10 == 0 plays the benchmark)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.sampling import contamination_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return contamination_pairs(corpus, bench, jaccard_threshold=0.05)
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full grouping-sets family (cube) — all 4 grouping combinations."""
     _utc(spark)
@@ -682,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_subjective": q_rerank_subjective,
         "rerank_discussion": q_rerank_discussion,
         "dedup_minhash": q_dedup_minhash,
+        "doc_split": q_doc_split,
+        "contamination": q_contamination,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
@@ -812,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
         "rerank_discussion": _with_transcript(_rerank_mood_sql("discussion")),
         "dedup_minhash": "WITH documents_src AS (SELECT * FROM documents)"
         + _minhash_sql(),
+        "doc_split": _doc_split_sql(),
+        "contamination": "WITH documents_src AS (SELECT * FROM documents)" + _contamination_sql(),
         "dedup_simhash": _simhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "ann_bruteforce": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("brute"),
@@ -972,6 +1007,28 @@ def _rerank_mood_sql(mood: str) -> str:
     from podcast_audio_feature_extraction_spark.operators.rerank import rerank_mood_sql
 
     return rerank_mood_sql(_mood_scores_sql(), mood, num=10)
+
+
+def _doc_split_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.sampling import split_sql
+
+    case = split_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    toks = "list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')"
+    return f"""
+        SELECT {case} AS split, count(*) AS n_docs,
+               round(avg(CAST(len({toks}) AS INT)), 6) AS mean_tokens
+        FROM documents GROUP BY 1
+    """
+
+
+def _contamination_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.sampling import contamination_pairs_sql
+
+    return contamination_pairs_sql(
+        corpus_pred="doc_id % 10 <> 0",
+        bench_pred="doc_id % 10 = 0",
+        jaccard_threshold=0.05,
+    )
 
 
 def _minhash_sql() -> str:

@@ -1,0 +1,48 @@
+import pandas as pd
+import pyspark.sql.functions as F
+
+from podcast_audio_feature_extraction_spark.operators.sampling import (
+    contamination_pairs,
+    decontaminate_exact,
+    split_col,
+)
+
+
+def test_split_deterministic_and_roughly_proportional(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = df.select("doc_id", split_col(F.col("doc_id"), fr).alias("s")).toPandas()
+    b = df.select("doc_id", split_col(F.col("doc_id"), fr).alias("s")).toPandas()
+    # identical across runs (hash, not random)
+    assert (a.sort_values("doc_id")["s"].to_numpy() == b.sort_values("doc_id")["s"].to_numpy()).all()
+    counts = a["s"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.03
+    assert abs(counts["val"] - 0.1) < 0.02
+    assert abs(counts["test"] - 0.1) < 0.02
+    # a different salt re-rolls the assignment
+    c = df.select(split_col(F.col("doc_id"), fr, salt="other").alias("s")).toPandas()
+    assert (a.sort_values("doc_id")["s"].to_numpy() != c["s"].to_numpy()).any()
+
+
+def test_decontaminate_exact_drops_benchmark_texts(spark):
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["keep me", "leaked benchmark item", "also keep"]})
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [100], "text": ["leaked benchmark item"]}))
+    got = decontaminate_exact(corpus, bench).toPandas()
+    assert set(got["doc_id"]) == {1, 3}
+
+
+def test_contamination_pairs_finds_near_dup_across_tables(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [base.replace("today", "tomorrow"), "totally unrelated corpus text here now"],
+            }
+        )
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [base]}))
+    got = contamination_pairs(corpus, bench, jaccard_threshold=0.3).toPandas()
+    assert set(zip(got["corpus_id"], got["bench_id"])) == {(1, 9)}
