@@ -49,6 +49,13 @@ def ranking_metrics(
     hits = topk.join(rel, ["topic_id", "seg_id"]).groupBy("topic_id").agg(
         F.count(F.lit(1)).alias("hits"),
         F.min("rk").alias("first_rel_rank"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rk").cast("double") + 1)).alias("__dcg"),
+    )
+    # binary-grade ideal DCG: the top min(n_rel, k) ranks all relevant
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0.0),
+        lambda a, i: a + F.lit(1.0) / F.log2(i.cast("double") + 1),
     )
     return (
         n_rel.join(hits, "topic_id", "left")
@@ -63,6 +70,7 @@ def ranking_metrics(
             F.round(
                 F.coalesce(F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)), round_digits
             ).alias("mrr_at_k"),
+            F.round(F.coalesce(F.col("__dcg"), F.lit(0.0)) / idcg, round_digits).alias("ndcg_at_k"),
         )
     )
 
@@ -73,7 +81,8 @@ def ranking_metrics_sql(results_cte: str, qrels_cte: str, k: int = 10, round_dig
         , __rel AS (SELECT topic_id, seg_id FROM {qrels_cte} WHERE grade > 0),
         __nrel AS (SELECT topic_id, count(*) AS n_rel FROM __rel GROUP BY topic_id),
         __hits AS (
-            SELECT r.topic_id, count(*) AS hits, min(r.rk) AS first_rel_rank
+            SELECT r.topic_id, count(*) AS hits, min(r.rk) AS first_rel_rank,
+                   sum(1.0 / log2(CAST(r.rk AS DOUBLE) + 1)) AS dcg
             FROM {results_cte} r JOIN __rel q USING (topic_id, seg_id)
             WHERE r.rk <= {k}
             GROUP BY r.topic_id
@@ -83,6 +92,10 @@ def ranking_metrics_sql(results_cte: str, qrels_cte: str, k: int = 10, round_dig
                n.n_rel,
                round(COALESCE(h.hits, 0) / {float(k)}, {round_digits}) AS p_at_k,
                round(COALESCE(h.hits, 0) / CAST(n.n_rel AS DOUBLE), {round_digits}) AS recall_at_k,
-               round(COALESCE(1.0 / CAST(h.first_rel_rank AS DOUBLE), 0.0), {round_digits}) AS mrr_at_k
+               round(COALESCE(1.0 / CAST(h.first_rel_rank AS DOUBLE), 0.0), {round_digits}) AS mrr_at_k,
+               round(COALESCE(h.dcg, 0.0) / list_reduce(
+                   list_transform(range(1, least(n.n_rel, {k}) + 1),
+                                  i -> 1.0 / log2(CAST(i AS DOUBLE) + 1)),
+                   (a, b) -> a + b), {round_digits}) AS ndcg_at_k
         FROM __nrel n LEFT JOIN __hits h USING (topic_id)
     """

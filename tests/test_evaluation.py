@@ -56,3 +56,21 @@ def test_ranking_metrics_values(spark):
     assert got.loc[2, "hits"] == 0 and got.loc[2, "mrr_at_k"] == 0.0
     # topic 3: relevant exists but topic never searched -> still reported
     assert got.loc[3, "hits"] == 0
+
+
+def test_ndcg_known_values(spark):
+    import math
+    import pandas as pd
+    from podcast_audio_feature_extraction_spark.operators.evaluation import ranking_metrics
+
+    # topic 1: relevant docs at ranks 1 and 3 of 3 relevant total, k=3
+    results = spark.createDataFrame(
+        pd.DataFrame({"topic_id": [1, 1, 1], "seg_id": ["a", "b", "c"], "rk": [1, 2, 3]})
+    )
+    qrels = spark.createDataFrame(
+        pd.DataFrame({"topic_id": [1, 1, 1], "seg_id": ["a", "c", "d"], "grade": [1, 1, 1]})
+    )
+    got = ranking_metrics(results, qrels, k=3).toPandas()
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in range(1, 4))
+    assert abs(got.loc[0, "ndcg_at_k"] - round(dcg / idcg, 6)) < 1e-9
