@@ -49,3 +49,13 @@ def test_assemble_functionals_vector(spark, transcripts_sdf):
     pdf = df.select("token_cnt", "functionals").limit(50).toPandas()
     for _, r in pdf.iterrows():
         assert r["functionals"][0] == float(r["token_cnt"])
+
+
+def test_turn_features_single_exchange(spark, transcripts_sdf):
+    """All four window passes (lag/lead, whole-partition min, trailing
+    frame, plus any upstream derivation) must share ONE conv_id shuffle."""
+    plan = (
+        turn_features(transcripts_sdf, k=K, val_col=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1
