@@ -425,6 +425,16 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus unigram LM surprisal per document (perplexity-filter
+    analog: one explode + vocab agg + token join, zero Python)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.lm import unigram_surprisal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_surprisal(d)
+
+
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-split (train/val/test) — per-split counts +
     mean token count (split balance check, a training-data staple)."""
@@ -715,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "doc_split": q_doc_split,
         "contamination": q_contamination,
+        "unigram_surprisal": q_unigram_surprisal,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
@@ -846,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": "WITH documents_src AS (SELECT * FROM documents)"
         + _minhash_sql(),
         "doc_split": _doc_split_sql(),
+        "unigram_surprisal": _unigram_surprisal_sql(),
         "contamination": "WITH documents_src AS (SELECT * FROM documents)" + _contamination_sql(),
         "dedup_simhash": _simhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
@@ -1007,6 +1019,12 @@ def _rerank_mood_sql(mood: str) -> str:
     from podcast_audio_feature_extraction_spark.operators.rerank import rerank_mood_sql
 
     return rerank_mood_sql(_mood_scores_sql(), mood, num=10)
+
+
+def _unigram_surprisal_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.lm import unigram_surprisal_sql
+
+    return unigram_surprisal_sql(src="documents")
 
 
 def _doc_split_sql() -> str:

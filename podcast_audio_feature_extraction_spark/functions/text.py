@@ -64,15 +64,27 @@ def bpe_token_count_sql(text_expr: str = "text") -> str:
     return f"CAST(len(regexp_extract_all(COALESCE({text_expr},''), '{BPE_PATTERN}')) AS INT)"
 
 
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
 def quality_cols(text_col: Column, round_digits: int = 6) -> dict[str, Column]:
     """Quality-scoring features: token/char counts, mean token length,
-    stopword ratio (en), type-token ratio, punctuation ratio."""
+    stopword ratio (en), type-token ratio, punctuation ratio, 3-gram
+    repetition ratio (C4-style boilerplate signal), URL/email counts
+    (scrub/PII-flag signals)."""
     toks = tokens_col(text_col)
     n = F.size(toks)
     safe_n = F.greatest(n, F.lit(1))
     chars = F.length(F.coalesce(text_col, F.lit("")))
     en_stop = F.size(F.array_intersect(F.transform(toks, F.lower), F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
     punct = F.size(F.regexp_extract_all(F.coalesce(text_col, F.lit("")), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    # RAW (non-distinct) 3-gram list: repetition = 1 - distinct/total
+    kgrams = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(0), n - 3), lambda i: F.array_join(F.slice(toks, i + 1, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    n_k = F.size(kgrams)
     return {
         "n_tokens": n.cast("int"),
         "n_chars": chars.cast("int"),
@@ -82,6 +94,16 @@ def quality_cols(text_col: Column, round_digits: int = 6) -> dict[str, Column]:
         "stopword_ratio": F.round(en_stop / safe_n.cast("double"), round_digits),
         "type_token_ratio": F.round(F.size(F.array_distinct(toks)) / safe_n.cast("double"), round_digits),
         "punct_ratio": F.round(punct / F.greatest(chars, F.lit(1)).cast("double"), round_digits),
+        "rep_3gram_ratio": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(kgrams)) / F.greatest(n_k, F.lit(1)).cast("double"),
+            round_digits,
+        ),
+        "n_urls": F.size(F.regexp_extract_all(F.coalesce(text_col, F.lit("")), F.lit(URL_PATTERN), 0)).cast(
+            "int"
+        ),
+        "n_emails": F.size(
+            F.regexp_extract_all(F.coalesce(text_col, F.lit("")), F.lit(EMAIL_PATTERN), 0)
+        ).cast("int"),
     }
 
 
@@ -91,6 +113,10 @@ def quality_sql(text_expr: str = "text", round_digits: int = 6) -> dict[str, str
     safe_n = f"greatest({n}, 1)"
     chars = f"length(COALESCE({text_expr},''))"
     en = "[" + ", ".join(repr(w) for w in STOPWORDS["en"]) + "]"
+    kgrams = (
+        f"CASE WHEN {n} >= 3 THEN list_transform(range({n} - 2), "
+        f"i -> array_to_string({toks}[i+1:i+3], ' ')) ELSE []::VARCHAR[] END"
+    )
     return {
         "n_tokens": f"CAST({n} AS INT)",
         "n_chars": f"CAST({chars} AS INT)",
@@ -98,6 +124,9 @@ def quality_sql(text_expr: str = "text", round_digits: int = 6) -> dict[str, str
         "stopword_ratio": f"round(CAST(len(list_intersect(list_transform({toks}, t -> lower(t)), {en})) AS DOUBLE) / {safe_n}, {round_digits})",
         "type_token_ratio": f"round(CAST(len(list_distinct({toks})) AS DOUBLE) / {safe_n}, {round_digits})",
         "punct_ratio": f"round(CAST(len(regexp_extract_all(COALESCE({text_expr},''), '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest({chars}, 1), {round_digits})",
+        "rep_3gram_ratio": f"round(1.0 - CAST(len(list_distinct({kgrams})) AS DOUBLE) / greatest(len({kgrams}), 1), {round_digits})",
+        "n_urls": f"CAST(len(regexp_extract_all(COALESCE({text_expr},''), 'https?://[^\\s]+')) AS INT)",
+        "n_emails": f"CAST(len(regexp_extract_all(COALESCE({text_expr},''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT)",
     }
 
 

@@ -48,3 +48,43 @@ def test_lang_guess_basics(spark):
     )
     got = df.select("doc_id", lang_guess_col(F.col("text")).alias("lang")).toPandas().set_index("doc_id")["lang"]
     assert got[1] == "en" and got[2] == "de" and got[3] == "unknown"
+
+
+def test_quality_repetition_and_scrub_signals(spark):
+    from podcast_audio_feature_extraction_spark.functions.text import quality_cols
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "buy now buy now buy now buy now buy now buy now",  # repetitive
+                    "every token here is quite different from the others",
+                    "contact me at a.user@example.com or https://example.com/page now",
+                ],
+            }
+        )
+    )
+    q = quality_cols(F.col("text"))
+    got = df.select("doc_id", *[c.alias(n) for n, c in q.items()]).toPandas().set_index("doc_id")
+    assert got.loc[1, "rep_3gram_ratio"] > 0.7
+    assert got.loc[2, "rep_3gram_ratio"] == 0.0
+    assert got.loc[3, "n_urls"] == 1 and got.loc[3, "n_emails"] == 1
+    assert got.loc[1, "n_urls"] == 0 and got.loc[1, "n_emails"] == 0
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    from podcast_audio_feature_extraction_spark.operators.lm import unigram_surprisal
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                # doc 1 = only the corpus-dominant token; doc 2 = rare tokens
+                "text": ["common common common common", "xylophone quark zeitgeist common"],
+            }
+        )
+    )
+    got = unigram_surprisal(df).toPandas().set_index("doc_id")
+    assert got.loc[2, "mean_surprisal"] > got.loc[1, "mean_surprisal"]
+    assert got.loc[1, "n_tokens"] == 4
