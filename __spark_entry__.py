@@ -425,6 +425,31 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization round-trip error (storage path): per
+    vector, max abs error + mse of quantize->dequantize vs the original."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.similarity import dequantize_col, quantize_col
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    deq = dequantize_col(quantize_col(F.col("embedding")))
+    errs = F.zip_with(deq, F.col("embedding").cast("array<double>"), lambda a, b: F.abs(a - b))
+    return e.select(
+        "vec_id",
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+        F.round(F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x * x) / F.lit(64.0), 6).alias("mse"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-group stratified sample over documents."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(d, group_col="source", n_per_group=5).select("doc_id", "source", "lang")
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-corpus unigram LM surprisal per document (perplexity-filter
     analog: one explode + vocab agg + token join, zero Python)."""
@@ -726,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "contamination": q_contamination,
         "unigram_surprisal": q_unigram_surprisal,
+        "embedding_quantize": q_embedding_quantize,
+        "stratified_sample": q_stratified_sample,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
@@ -858,6 +885,8 @@ def oracle_sql() -> dict[str, str]:
         + _minhash_sql(),
         "doc_split": _doc_split_sql(),
         "unigram_surprisal": _unigram_surprisal_sql(),
+        "embedding_quantize": _quantize_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "contamination": "WITH documents_src AS (SELECT * FROM documents)" + _contamination_sql(),
         "dedup_simhash": _simhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
@@ -1019,6 +1048,22 @@ def _rerank_mood_sql(mood: str) -> str:
     from podcast_audio_feature_extraction_spark.operators.rerank import rerank_mood_sql
 
     return rerank_mood_sql(_mood_scores_sql(), mood, num=10)
+
+
+def _quantize_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.similarity import quantize_roundtrip_sql
+
+    return quantize_roundtrip_sql(dim=64, src="embeddings")
+
+
+def _stratified_sample_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.sampling import stratified_sample_sql
+
+    return (
+        "SELECT doc_id, source, lang FROM ("
+        + stratified_sample_sql(src="documents", group_col="source", n_per_group=5)
+        + ")"
+    )
 
 
 def _unigram_surprisal_sql() -> str:

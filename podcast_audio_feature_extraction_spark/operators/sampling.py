@@ -67,6 +67,41 @@ def split_sql(id_expr: str, fractions: dict[str, float], salt: str = "split") ->
     return case
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each group by a
+    salted id hash (uniform, reproducible, engine-portable) and keep the
+    first n. The distributed form of stratified subsampling — one shuffle
+    on the group key, no driver-side sampling state."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n_per_group).drop("__rk")
+
+
+def stratified_sample_sql(
+    src: str = "documents",
+    group_col: str = "source",
+    n_per_group: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same salted-hash order)."""
+    h = f"md5('{salt}:' || CAST({id_col} AS VARCHAR))"
+    return f"""
+        SELECT * EXCLUDE (__rk) FROM (
+            SELECT *, row_number() OVER (PARTITION BY {group_col} ORDER BY {h}, {id_col}) AS __rk
+            FROM {src}
+        ) WHERE __rk <= {n_per_group}
+    """
+
+
 def decontaminate_exact(
     corpus: DataFrame, benchmark: DataFrame, text_col: str = "text"
 ) -> DataFrame:

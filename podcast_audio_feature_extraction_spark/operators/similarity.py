@@ -248,6 +248,43 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def quantize_col(vec: Column, lo: float = -1.0, hi: float = 1.0, levels: int = 256) -> Column:
+    """int8-style embedding quantization (storage path: 4-8x smaller
+    feature tables, the float16-HDF5 analog of the reference's sinks).
+    floor(x*scale + 0.5) keeps the rounding rule identical across engines
+    (plain round() half-up vs half-even varies)."""
+    scale = (levels - 1) / (hi - lo)
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.least(
+            F.greatest(F.floor((x - F.lit(lo)) * F.lit(scale) + F.lit(0.5)), F.lit(0)), F.lit(levels - 1)
+        ).cast("int"),
+    )
+
+
+def dequantize_col(qvec: Column, lo: float = -1.0, hi: float = 1.0, levels: int = 256) -> Column:
+    step = (hi - lo) / (levels - 1)
+    return F.transform(qvec, lambda q: q.cast("double") * F.lit(step) + F.lit(lo))
+
+
+def quantize_roundtrip_sql(dim: int, lo: float = -1.0, hi: float = 1.0, levels: int = 256, src: str = "embeddings") -> str:
+    """DuckDB twin of the quantize->dequantize error query (scalar outputs:
+    per-vector max abs error + mse)."""
+    scale = (levels - 1) / (hi - lo)
+    step = (hi - lo) / (levels - 1)
+    q = (
+        f"least(greatest(floor((CAST(embedding[i+1] AS DOUBLE) - {lo}) * {scale} + 0.5), 0), {levels - 1})"
+    )
+    err = f"abs(({q} * {step} + {lo}) - CAST(embedding[i+1] AS DOUBLE))"
+    errs = f"list_transform(range({dim}), i -> {err})"
+    return f"""
+        SELECT vec_id,
+               round(list_max({errs}), 6) AS max_abs_err,
+               round(list_sum(list_transform({errs}, e -> e * e)) / {dim}, 6) AS mse
+        FROM {src}
+    """
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

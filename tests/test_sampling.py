@@ -46,3 +46,36 @@ def test_contamination_pairs_finds_near_dup_across_tables(spark):
     bench = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [base]}))
     got = contamination_pairs(corpus, bench, jaccard_threshold=0.3).toPandas()
     assert set(zip(got["corpus_id"], got["bench_id"])) == {(1, 9)}
+
+
+def test_stratified_sample_counts_and_determinism(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "source": [f"s{i % 4}" for i in range(100)],
+            "text": ["x"] * 100,
+        }
+    )
+    from podcast_audio_feature_extraction_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(pdf)
+    a = stratified_sample(df, n_per_group=3).toPandas()
+    b = stratified_sample(df, n_per_group=3).toPandas()
+    assert a.groupby("source")["doc_id"].count().eq(3).all()
+    assert set(a["doc_id"]) == set(b["doc_id"])  # deterministic
+    c = stratified_sample(df, n_per_group=3, salt="other").toPandas()
+    assert set(a["doc_id"]) != set(c["doc_id"])  # salt re-rolls
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    import numpy as np
+    from podcast_audio_feature_extraction_spark.operators.similarity import dequantize_col, quantize_col
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"vec_id": range(20), "embedding": [rng.uniform(-1, 1, 16).tolist() for _ in range(20)]})
+    df = spark.createDataFrame(pdf)
+    deq = dequantize_col(quantize_col(F.col("embedding")))
+    errs = F.zip_with(deq, F.col("embedding"), lambda a, b: F.abs(a - b))
+    worst = df.select(F.max(F.array_max(errs)).alias("w")).first()["w"]
+    assert worst <= (2.0 / 255) / 2 + 1e-12  # half a quantization step
