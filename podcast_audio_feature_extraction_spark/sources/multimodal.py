@@ -66,7 +66,8 @@ def synthesize_media(spark: SparkSession, n: int = 32, seed: int = 42, wav_audio
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.integers(256, 4096))
+        # images carry exactly width*height pixel bytes (metadata-consistent)
+        size = 64 * 64 if kind == "image" else int(rng.integers(256, 4096))
         if kind == "audio" and wav_audio:
             payload = _wav_bytes(rng, n_samples=size)
         else:
@@ -174,10 +175,100 @@ def extract_media_features(
     return media.select("media_id", "kind", "payload").mapInPandas(process, schema=MEDIA_FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.ArrayType(T.DoubleType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.DoubleType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every: int = 5,
+    frame_size: int = 256,
+    max_frames: int = 100,
+    decode: str = "fake",
+) -> DataFrame:
+    """Strided frame sampling (the video-kind W6 analog: keep every Nth
+    frame, bounded count — create_vggish_features.py's ``[:6000:5]`` shape
+    applied to media). UDTF fan-out via mapInPandas; failures quarantine
+    per item like extract_media_features."""
+    decoder = {"fake": _decode_fake, "real": _decode_real}[decode]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                try:
+                    sig = decoder(payload, kind)
+                    n_frames = sig.size // frame_size
+                    for fi in range(0, min(n_frames, max_frames * every), every):
+                        rows.append(
+                            (media_id, kind, fi, sig[fi * frame_size : (fi + 1) * frame_size].tolist(), None)
+                        )
+                except Exception as e:  # noqa: BLE001
+                    rows.append((media_id, kind, -1, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "frame_idx", "frame", "error"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+def resize_pooled(media: DataFrame, out_w: int = 8, out_h: int = 8, decode: str = "fake") -> DataFrame:
+    """Image resize by average pooling: decoded pixels reshaped to the
+    metadata (height, width) grid, block-averaged down to (out_h, out_w).
+    Items whose payload does not match width*height quarantine themselves
+    (metadata/payload consistency is exactly what breaks at corpus scale).
+    Real compressed-image decode needs PIL — documented stub; the pooling
+    math and plumbing are real and run on the fake decoder."""
+    decoder = {"fake": _decode_fake, "real": _decode_real}[decode]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload, w, h in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    if kind != "image":
+                        raise ValueError(f"resize expects image kind, got {kind}")
+                    w, h = int(w), int(h)
+                    sig = decoder(payload, kind)
+                    if sig.size < w * h:
+                        raise ValueError(f"payload {sig.size} px < declared {w}x{h}")
+                    img = sig[: w * h].reshape(h, w)
+                    # crop to a pool-divisible grid, then block-average
+                    ch, cw = (h // out_h) * out_h, (w // out_w) * out_w
+                    img = img[:ch, :cw]
+                    pooled = img.reshape(out_h, ch // out_h, out_w, cw // out_w).mean(axis=(1, 3))
+                    rows.append((media_id, out_w, out_h, pooled.ravel().tolist(), None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((media_id, out_w, out_h, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=["media_id", "out_w", "out_h", "pixels", "error"])
+
+    return media.select("media_id", "kind", "payload", "width", "height").mapInPandas(
+        process, schema=RESIZE_SCHEMA
+    )
+
+
 def quarantine(features: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split feature rows from quarantined failures (errors table, E2)."""
     ok = features.filter(F.col("error").isNull()).drop("error")
-    bad = features.filter(F.col("error").isNotNull()).select("media_id", "kind", "error")
+    id_cols = [c for c in ("media_id", "kind") if c in features.columns]
+    bad = features.filter(F.col("error").isNotNull()).select(*id_cols, "error")
     return ok, bad
 
 

@@ -125,3 +125,49 @@ def test_media_quarantine_isolates_bad_rows(spark):
     assert bad.count() == 0
     assert ok.count() > 0
     assert "error" not in ok.columns
+
+
+def test_sample_frames_strided_fanout(spark):
+    from podcast_audio_feature_extraction_spark.sources.multimodal import quarantine, sample_frames
+
+    media = synthesize_media(spark, n=9, seed=3)
+    ok, bad = quarantine(sample_frames(media, every=3, frame_size=128))
+    pdf = ok.toPandas()
+    assert bad.count() == 0
+    assert all(len(f) == 128 for f in pdf["frame"])
+    # strided: only frame indices 0, 3, 6, ... appear
+    assert (pdf["frame_idx"] % 3 == 0).all()
+    # per-item frame count == ceil(n_full_frames / 3) for its payload size
+    sizes = {r["media_id"]: len(r["payload"]) for r in media.select("media_id", "payload").collect()}
+    per = pdf.groupby("media_id")["frame_idx"].count()
+    for mid, cnt in per.items():
+        n_frames = sizes[mid] // 128
+        assert cnt == (n_frames + 2) // 3
+
+
+def test_resize_pooled_block_average(spark):
+    import numpy as np
+    import pandas as pd
+    from podcast_audio_feature_extraction_spark.schema import MEDIA_SCHEMA
+    from podcast_audio_feature_extraction_spark.sources.multimodal import quarantine, resize_pooled
+
+    # 4x4 image with known byte values -> 2x2 average pool
+    px = np.arange(16, dtype=np.uint8)  # values 0..15
+    rows = [
+        {
+            "media_id": "img1", "conv_id": "c0", "kind": "image",
+            "payload": px.tobytes(), "mime": "image/png",
+            "width": 4, "height": 4, "sample_rate": None, "duration_s": None,
+        },
+        {  # payload shorter than declared dims -> quarantined
+            "media_id": "img2", "conv_id": "c0", "kind": "image",
+            "payload": b"\x00\x01", "mime": "image/png",
+            "width": 4, "height": 4, "sample_rate": None, "duration_s": None,
+        },
+    ]
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    ok, bad = quarantine(resize_pooled(media, out_w=2, out_h=2))
+    got = ok.toPandas().set_index("media_id")
+    assert bad.toPandas()["media_id"].tolist() == ["img2"]
+    want = px.reshape(4, 4).astype(float).reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel() / 256.0
+    np.testing.assert_allclose(np.array(got.loc["img1", "pixels"]), want)
