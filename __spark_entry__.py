@@ -310,6 +310,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, jaccard_threshold=0.05)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup last mile: connected components over the minhash near-dup
+    pairs -> (doc_id, cluster_id, is_keeper). Iterative min-label
+    propagation on Spark; DuckDB twin is a recursive-CTE closure."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(d, minhash_lsh_pairs(d, jaccard_threshold=0.05))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (near-dup fingerprint)."""
     _utc(spark)
@@ -748,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_subjective": q_rerank_subjective,
         "rerank_discussion": q_rerank_discussion,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "doc_split": q_doc_split,
         "contamination": q_contamination,
         "unigram_surprisal": q_unigram_surprisal,
@@ -883,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "rerank_discussion": _with_transcript(_rerank_mood_sql("discussion")),
         "dedup_minhash": "WITH documents_src AS (SELECT * FROM documents)"
         + _minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "doc_split": _doc_split_sql(),
         "unigram_surprisal": _unigram_surprisal_sql(),
         "embedding_quantize": _quantize_sql(),
@@ -1092,6 +1105,18 @@ def _contamination_sql() -> str:
         bench_pred="doc_id % 10 = 0",
         jaccard_threshold=0.05,
     )
+
+
+def _dedup_clusters_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.dedup import (
+        dedup_clusters_sql,
+        minhash_lsh_pairs_sql,
+    )
+
+    pairs_inner = "WITH documents_src AS (SELECT * FROM documents)" + minhash_lsh_pairs_sql(
+        src="documents", jaccard_threshold=0.05
+    )
+    return f"WITH __pairs AS ({pairs_inner}) " + dedup_clusters_sql("__pairs", docs_cte="documents")
 
 
 def _minhash_sql() -> str:

@@ -251,6 +251,83 @@ def simhash_pairs_sql(
     """
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> one keeper per cluster.
+
+    The last mile of every dedup pipeline: pair lists (from minhash/simhash
+    /cosine) become clusters, and only the cluster minimum survives.
+    Min-label propagation: every doc starts labeled with itself; each round
+    takes the min of its own label and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup clusters are shallow — a handful).
+    The loop is driver-controlled but each round is one distributed join +
+    aggregate; an early-exit count stops at the fixpoint.
+
+    Returns (doc_id, cluster_id, is_keeper) for EVERY doc (singletons are
+    their own cluster).
+    """
+    # undirected edge list, both directions
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct()
+    labels = docs.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
+    e = e.localCheckpoint()  # edges reused every round: cut the re-read
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
+    )
+
+
+def dedup_clusters_sql(pairs_cte: str, docs_cte: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin: connected components via a recursive min-label closure
+    (UNION dedup guarantees termination), embedded after a WITH clause that
+    defines ``pairs_cte`` with (doc_a, doc_b)."""
+    return f"""
+        , __edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
+            UNION SELECT doc_b, doc_a FROM {pairs_cte}
+        ),
+        __reach AS (
+            WITH RECURSIVE r(node, reach) AS (
+                SELECT {id_col}, {id_col} FROM {docs_cte}
+                UNION
+                SELECT r.node, e.dst FROM r JOIN __edges e ON e.src = r.reach
+            )
+            SELECT node, min(reach) AS cluster_id FROM r GROUP BY node
+        )
+        SELECT node AS {id_col}, cluster_id,
+               CAST(node = cluster_id AS INT) AS is_keeper
+        FROM __reach
+    """
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: groups by content hash, keeps the min id."""
     return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(

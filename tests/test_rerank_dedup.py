@@ -171,3 +171,16 @@ def test_ngram_jaccard_max_block_reroutes_through_lsh(spark):
     assert cp <= ep
     hi = exact[(exact.grp == "big") & (exact.jaccard >= 0.5)]
     assert set(zip(hi["doc_a"], hi["doc_b"])) <= cp
+
+
+def test_dedup_clusters_connected_components(spark):
+    from podcast_audio_feature_extraction_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6]}))
+    # chain 1-2-3 (needs multi-hop propagation), pair 4-5, singleton 6
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [2, 1, 4], "doc_b": [3, 2, 5], "jaccard": [1.0, 1.0, 1.0]})
+    )
+    got = dedup_clusters(docs, pairs).toPandas().set_index("doc_id").sort_index()
+    assert list(got["cluster_id"]) == [1, 1, 1, 4, 4, 6]
+    assert list(got["is_keeper"]) == [1, 0, 0, 1, 0, 1]
