@@ -21,4 +21,52 @@ Subpackages
                    parity tests (the reference's own computational medium).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name: str):
+    """Lazy top-level façade: the common operators are importable directly
+    (``from podcast_audio_feature_extraction_spark import asof_join``) without paying
+    every submodule's import cost up front."""
+    import importlib
+
+    _API = {
+        "get_spark": "session",
+        "sessionize": "operators.sessionize",
+        "session_bounds": "operators.sessionize",
+        "turn_features": "operators.rolling",
+        "assemble_functionals": "operators.rolling",
+        "window_functionals": "operators.functionals",
+        "build_segments": "operators.segments",
+        "asof_join": "operators.asof",
+        "interval_join": "operators.interval",
+        "mood_scores": "operators.rerank",
+        "rerank_topical": "operators.rerank",
+        "rerank_mood": "operators.rerank",
+        "search_segments": "operators.search",
+        "bm25_topk": "operators.search",
+        "exact_dedup": "operators.dedup",
+        "minhash_lsh_pairs": "operators.dedup",
+        "simhash_pairs": "operators.dedup",
+        "ngram_jaccard_pairs": "operators.dedup",
+        "dedup_clusters": "operators.dedup",
+        "brute_force_topk": "operators.similarity",
+        "lsh_topk": "operators.similarity",
+        "ivf_topk": "operators.similarity",
+        "embedding_near_dup_pairs": "operators.similarity",
+        "split_col": "operators.sampling",
+        "stratified_sample": "operators.sampling",
+        "decontaminate_exact": "operators.sampling",
+        "contamination_pairs": "operators.sampling",
+        "unigram_surprisal": "operators.lm",
+        "run_resumable": "operators.resume",
+        "ranking_metrics": "operators.evaluation",
+        "with_embedding": "functions.embedding",
+        "flagship": "plans.backfill",
+        "build_feature_table": "plans.backfill",
+        "backfill_features": "plans.backfill",
+    }
+    if name in _API:
+        mod = importlib.import_module(f"{__name__}.{_API[name]}")
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
