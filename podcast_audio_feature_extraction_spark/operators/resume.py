@@ -34,6 +34,21 @@ from pyspark.sql import DataFrame, functions as F
 MANIFEST_NAME = "_manifest.json"
 
 
+def write_features(
+    df: DataFrame,
+    path: str,
+    key_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    codec: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """Feature-table sink (S11-S13 analog of the reference's complevel-6
+    HDF5): zstd-compressed parquet written in stable (conv_id, turn_idx)
+    order within files (the T4 deterministic-order invariant, and what
+    earns ts/key row-group pruning on later ranged reads)."""
+    df.sortWithinPartitions(*order_cols).write.option("compression", codec).mode(mode).parquet(path)
+
+
 def bucket_col(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 

@@ -81,3 +81,40 @@ def test_bm25_length_normalization(spark):
     seg = spark.createDataFrame(pd.DataFrame(rows, columns=["seg_id", "seg_words"]))
     got = bm25_topk(seg, "hit", k=10).toPandas().set_index("seg_id")["bm25"]
     assert got["a_0"] > got["b_0"]
+
+
+def test_bm25_matches_numpy_reference(spark):
+    """Property check: engine BM25 == a direct numpy implementation of the
+    same formula on a random corpus."""
+    import math
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 25))) for _ in range(40)]
+    seg = spark.createDataFrame(
+        pd.DataFrame({"seg_id": [f"c{i}_0" for i in range(40)], "seg_words": docs})
+    )
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk
+
+    terms = ["w1", "w5"]
+    got = bm25_topk(seg, " ".join(terms), k=40).toPandas().set_index("seg_id")["bm25"]
+
+    toks = [d.split() for d in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+    k1, b = 1.2, 0.75
+    for i, t in enumerate(toks):
+        s = 0.0
+        for term in terms:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df_ = sum(term in tt for tt in toks)
+            idf = math.log(1 + (N - df_ + 0.5) / (df_ + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        s *= 2.0  # words boost, single field -> best_fields == the field
+        sid = f"c{i}_0"
+        if s > 0:
+            assert abs(got[sid] - round(s, 6)) < 1e-6, sid
+        else:
+            assert sid not in got.index

@@ -125,3 +125,20 @@ def test_resume_executes_transform_once_per_batch(spark, transcripts_sdf, tmp_pa
     assert run["rows_out"] == transcripts_sdf.count()
     # each row crosses the UDF exactly once (small slack for task retries)
     assert acc.value == run["rows_out"]
+
+
+def test_write_features_zstd_sorted(spark, transcripts_sdf, tmp_path):
+    import pyarrow.parquet as pq
+    from podcast_audio_feature_extraction_spark.operators.resume import write_features
+
+    out = str(tmp_path / "feat_sink")
+    write_features(transcripts_sdf.repartition(2, "conv_id"), out)
+    import glob
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    assert "ZSTD" in str(md.row_group(0).column(0).compression).upper()
+    # rows inside each file are (conv_id, turn_idx)-sorted
+    pdf = pq.read_table(files[0]).to_pandas()
+    key = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+    assert key == sorted(key)
