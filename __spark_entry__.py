@@ -607,6 +607,38 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
+    distribution of customers by order count (zero-order customers kept)."""
+    _utc(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("int").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking-window shape: order-value deciles with per-decile
+    revenue share."""
+    _utc(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
 def q_antijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti-join (U2/P7 shape): customers with no large order."""
     _utc(spark)
@@ -784,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_pad": q_tokenize_pad,
         "shipping_priority": q_shipping_priority,
         "small_qty_revenue": q_small_qty_revenue,
+        "custdist": q_custdist,
+        "revenue_deciles": q_revenue_deciles,
         "antijoin_customers": q_antijoin_customers,
         "json_extract": q_json_extract,
     }
@@ -961,6 +995,24 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 0.2 * avg(l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = lineitem.l_partkey
               )
+        """,
+        "custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, CAST(count(o_orderkey) AS INT) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "revenue_deciles": """
+            SELECT decile, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   round(min(o_totalprice), 4) AS lo,
+                   round(max(o_totalprice), 4) AS hi
+            FROM (
+                SELECT o_totalprice,
+                       ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+                FROM orders
+            ) GROUP BY decile
         """,
         "antijoin_customers": """
             SELECT c_custkey, c_name, c_acctbal FROM customer

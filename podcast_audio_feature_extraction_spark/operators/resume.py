@@ -69,6 +69,48 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
+def compact_buckets(
+    spark,
+    out_dir: str,
+    key_col: str = "conv_id",
+    files_per_bucket: int = 1,
+) -> dict:
+    """Small-file compaction for a resumable table: rewrite each completed
+    bucket's directory down to ``files_per_bucket`` sorted files. Long
+    incremental runs accrete one file per batch per bucket; scans then pay
+    per-file open/footer costs. Row counts are re-verified against the
+    manifest before the swap and the manifest records the compaction —
+    data content is untouched (same rows, same sort order contract).
+    """
+    import shutil
+
+    manifest = load_manifest(out_dir)
+    stats = {"compacted": [], "skipped": [], "rows": 0}
+    for b, meta in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0])):
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        if not os.path.isdir(bdir):
+            stats["skipped"].append(int(b))
+            continue
+        n_files = len([f for f in os.listdir(bdir) if f.endswith(".parquet")])
+        if n_files <= files_per_bucket:
+            stats["skipped"].append(int(b))
+            continue
+        df = spark.read.parquet(bdir)
+        tmp = bdir + ".compact.tmp"
+        df.coalesce(files_per_bucket).sortWithinPartitions(key_col).write.mode("overwrite").parquet(tmp)
+        n_new = spark.read.parquet(tmp).count()
+        if n_new != meta["rows"]:  # refuse to swap on any row-count drift
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"bucket {b}: compacted rows {n_new} != manifest {meta['rows']}")
+        shutil.rmtree(bdir)
+        os.replace(tmp, bdir)
+        meta["compacted_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        stats["compacted"].append(int(b))
+        stats["rows"] += n_new
+    _commit_manifest(out_dir, manifest)
+    return stats
+
+
 def run_resumable(
     transform,
     source: DataFrame,

@@ -142,3 +142,34 @@ def test_write_features_zstd_sorted(spark, transcripts_sdf, tmp_path):
     pdf = pq.read_table(files[0]).to_pandas()
     key = list(zip(pdf["conv_id"], pdf["turn_idx"]))
     assert key == sorted(key)
+
+
+def test_compact_buckets_preserves_rows(spark, transcripts_sdf, tmp_path):
+    import glob
+    from podcast_audio_feature_extraction_spark.operators.resume import compact_buckets
+
+    import os
+    import shutil
+
+    out = str(tmp_path / "compactable")
+    run_resumable(lambda df: df, transcripts_sdf, out, n_buckets=2, batch_size=1)
+    # fragment each bucket into several files (what many small incremental
+    # batches would leave behind) without changing its rows
+    for b in (0, 1):
+        bdir = f"{out}/bucket={b}"
+        frag = spark.read.parquet(bdir).repartition(4)
+        frag.write.mode("overwrite").parquet(bdir + ".tmp")
+        shutil.rmtree(bdir)
+        os.replace(bdir + ".tmp", bdir)
+    # snapshot BEFORE compaction (materialized: the rewrite invalidates
+    # any DataFrame still holding the old file listing)
+    a = spark.read.parquet(out).orderBy("conv_id", "turn_idx").toPandas()
+    files_before = len(glob.glob(out + "/bucket=*/*.parquet"))
+    stats = compact_buckets(spark, out, files_per_bucket=1)
+    files_after = len(glob.glob(out + "/bucket=*/*.parquet"))
+    assert files_after == 2 and files_before > files_after
+    assert sorted(stats["compacted"]) == [0, 1]
+    b = spark.read.parquet(out).orderBy("conv_id", "turn_idx").toPandas()
+    assert len(a) == len(b)
+    assert (a["conv_id"].to_numpy() == b["conv_id"].to_numpy()).all()
+    assert (a["turn_idx"].to_numpy() == b["turn_idx"].to_numpy()).all()
