@@ -622,20 +622,33 @@ def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile ranking-window shape: order-value deciles with per-decile
-    revenue share."""
+    """Order-value deciles WITHOUT a global sort: exact percentile cutoffs
+    from ONE aggregate (1-row broadcast), assignment by comparison.
+    A global ntile window would plan as Exchange SinglePartition over the
+    whole table — the rerank-fallback anti-pattern — so the scale form is
+    value-cutoff deciles (ties land in one bucket; counts near-equal).
+    Cutoffs are rounded to 6 decimals in BOTH dialects before comparison
+    so a last-ulp interpolation difference can never flip a boundary row."""
     _utc(spark)
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
-            F.round(F.min("o_totalprice"), 4).alias("lo"),
-            F.round(F.max("o_totalprice"), 4).alias("hi"),
-        )
+    pcts = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    cuts = o.agg(
+        F.transform(F.percentile(F.col("o_totalprice"), pcts), lambda c: F.round(c, 6)).alias("__cuts")
+    )
+    assigned = o.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("__cuts"), F.lit(0), lambda acc, c: acc + (F.col("o_totalprice") > c).cast("int")
+            )
+        ).alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
     )
 
 
@@ -1004,14 +1017,19 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY c_count
         """,
         "revenue_deciles": """
+            WITH __cuts AS (
+                SELECT list_transform(quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                                      c -> round(c, 6)) AS cuts
+                FROM orders
+            )
             SELECT decile, count(*) AS n_orders,
                    round(sum(o_totalprice), 4) AS revenue,
                    round(min(o_totalprice), 4) AS lo,
                    round(max(o_totalprice), 4) AS hi
             FROM (
                 SELECT o_totalprice,
-                       ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
-                FROM orders
+                       1 + len(list_filter(cuts, c -> o_totalprice > c)) AS decile
+                FROM orders CROSS JOIN __cuts
             ) GROUP BY decile
         """,
         "antijoin_customers": """
