@@ -502,6 +502,34 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(corpus, bench, jaccard_threshold=0.05)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: quality gate (length + repetition)
+    -> exact-dedup keepers -> deterministic split accounting. One query
+    exercising the filter/dedup/split stages a training-data pipeline
+    chains, per (split, lang)."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.functions.text import quality_cols
+    from podcast_audio_feature_extraction_spark.operators.sampling import split_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_cols(F.col("text"))
+    gated = d.select("doc_id", "lang", "text").filter(
+        (q["n_tokens"] >= 5) & (q["rep_3gram_ratio"] < 0.5)
+    )
+    keepers = gated.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = gated.join(keepers, "doc_id", "left_semi")
+    return (
+        kept.select(
+            split_col(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+            "lang",
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full grouping-sets family (cube) — all 4 grouping combinations."""
     _utc(spark)
@@ -808,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "contamination": q_contamination,
         "unigram_surprisal": q_unigram_surprisal,
+        "corpus_curation": q_corpus_curation,
         "embedding_quantize": q_embedding_quantize,
         "stratified_sample": q_stratified_sample,
         "dedup_simhash": q_dedup_simhash,
@@ -945,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "doc_split": _doc_split_sql(),
         "unigram_surprisal": _unigram_surprisal_sql(),
+        "corpus_curation": _corpus_curation_sql(),
         "embedding_quantize": _quantize_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "contamination": "WITH documents_src AS (SELECT * FROM documents)" + _contamination_sql(),
@@ -1131,6 +1161,24 @@ def _rerank_mood_sql(mood: str) -> str:
     from podcast_audio_feature_extraction_spark.operators.rerank import rerank_mood_sql
 
     return rerank_mood_sql(_mood_scores_sql(), mood, num=10)
+
+
+def _corpus_curation_sql() -> str:
+    from podcast_audio_feature_extraction_spark.functions.text import quality_sql
+    from podcast_audio_feature_extraction_spark.operators.sampling import split_sql
+
+    q = quality_sql("text")
+    case = split_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+        WITH __gated AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE {q["n_tokens"]} >= 5 AND {q["rep_3gram_ratio"]} < 0.5
+        ),
+        __keepers AS (SELECT min(doc_id) AS doc_id FROM __gated GROUP BY md5(text))
+        SELECT {case} AS split, lang, count(*) AS n_docs
+        FROM __gated WHERE doc_id IN (SELECT doc_id FROM __keepers)
+        GROUP BY 1, 2
+    """
 
 
 def _quantize_sql() -> str:

@@ -154,3 +154,36 @@ def test_asof_rejects_non_integral_tie_column(spark, asof_data):
     bad = rsdf.withColumn("ridx", rsdf["ridx"].cast("string"))
     with pytest.raises(TypeError, match="non-integral"):
         asof_join(lsdf, bad, value_cols=["feat"], right_tie_cols=["ridx"])
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_asof_composite_key(spark, strategy):
+    """Multi-column as-of keys: matches never cross either key column."""
+    lpdf = pd.DataFrame(
+        {
+            "tenant": ["t1", "t1", "t2"],
+            "conv_id": ["c", "c", "c"],
+            "ts": pd.to_datetime([100, 200, 200], unit="s"),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "tenant": ["t1", "t2"],
+            "conv_id": ["c", "c"],
+            "ts": pd.to_datetime([50, 150], unit="s"),
+            "feat": [1.0, 2.0],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on=["tenant", "conv_id"],
+            value_cols=["feat"],
+            strategy=strategy,
+        )
+        .toPandas()
+        .sort_values(["tenant", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(got["feat"]) == [1.0, 1.0, 2.0]  # t1 rows never see t2's feature
