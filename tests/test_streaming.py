@@ -98,3 +98,38 @@ def test_streaming_window_functionals_match_batch(spark, transcripts_sdf, tmp_pa
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
     for c in ("val_mean", "val_std", "val_min", "val_max"):
         np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9, err_msg=c)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, transcripts_sdf, tmp_path):
+    """Two streaming inputs joined on key + event-time range == the batch
+    bucketed-range interval join on the same data."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from podcast_audio_feature_extraction_spark.operators.interval import interval_join
+    from podcast_audio_feature_extraction_spark.streaming.joins import stream_interval_join
+
+    pts = transcripts_sdf.filter(F.col("role") == "user").select("conv_id", "ts", "val") \
+        if "val" in transcripts_sdf.columns else \
+        transcripts_sdf.filter(F.col("role") == "user").select("conv_id", "ts", F.col("turn_idx").cast("double").alias("val"))
+    cands = transcripts_sdf.filter(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("cand_idx"), F.col("ts").alias("start")
+    )
+    p_path, c_path = str(tmp_path / "pts"), str(tmp_path / "cands")
+    pts.repartition(4).write.mode("overwrite").parquet(p_path)
+    cands.repartition(4).write.mode("overwrite").parquet(c_path)
+    pts_s = spark.readStream.schema(pts.schema).option("maxFilesPerTrigger", 2).parquet(p_path)
+    cands_s = spark.readStream.schema(cands.schema).option("maxFilesPerTrigger", 2).parquet(c_path)
+
+    joined = stream_interval_join(pts_s, cands_s, length_s=90, watermark="365 days")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("ssj").toPandas()
+
+    cands_b = cands.withColumn("end", F.col("start") + F.expr("INTERVAL 90 SECONDS"))
+    want = interval_join(pts, cands_b, on="conv_id").toPandas()
+    gk = sorted(zip(got["conv_id"], got["cand_idx"], got["p_ts"]))
+    wk = sorted(zip(want["conv_id"], want["cand_idx"], want["ts"]))
+    assert len(gk) == len(wk) and gk == wk
