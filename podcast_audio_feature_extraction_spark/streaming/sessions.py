@@ -110,6 +110,22 @@ def sliding_window_functionals_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for older keys is evicted.
+    The streaming twin of exact_dedup's at-most-once-per-content guarantee
+    (for a content-keyed stream pass ``keys=[md5(text)]`` upstream)."""
+    keys = keys or ["conv_id", "turn_idx"]
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, spark: SparkSession) -> DataFrame:
     """Drive a streaming aggregation to completion with availableNow and
     return the materialized result (test/bench helper)."""

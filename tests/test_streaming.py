@@ -133,3 +133,23 @@ def test_stream_stream_interval_join_matches_batch(spark, transcripts_sdf, tmp_p
     gk = sorted(zip(got["conv_id"], got["cand_idx"], got["p_ts"]))
     wk = sorted(zip(want["conv_id"], want["cand_idx"], want["ts"]))
     assert len(gk) == len(wk) and gk == wk
+
+
+def test_dedup_stream_drops_duplicates(spark, transcripts_sdf, tmp_path):
+    from podcast_audio_feature_extraction_spark.streaming.sessions import dedup_stream
+
+    # duplicate the whole input: the stream must emit each key once
+    doubled = transcripts_sdf.unionByName(transcripts_sdf)
+    path = str(tmp_path / "dup_in")
+    doubled.repartition(4).write.mode("overwrite").parquet(path)
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=2)
+    out = dedup_stream(stream, keys=["conv_id", "turn_idx"], watermark="365 days")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream_t").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream_t").toPandas()
+    n_unique = transcripts_sdf.select("conv_id", "turn_idx").distinct().count()
+    assert len(got) == n_unique
+    assert not got.duplicated(subset=["conv_id", "turn_idx"]).any()
