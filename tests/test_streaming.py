@@ -153,3 +153,28 @@ def test_dedup_stream_drops_duplicates(spark, transcripts_sdf, tmp_path):
     n_unique = transcripts_sdf.select("conv_id", "turn_idx").distinct().count()
     assert len(got) == n_unique
     assert not got.duplicated(subset=["conv_id", "turn_idx"]).any()
+
+
+def test_stream_sink_exactly_once_across_restarts(spark, transcripts_sdf, tmp_path):
+    from podcast_audio_feature_extraction_spark.operators.resume import load_manifest
+    from podcast_audio_feature_extraction_spark.streaming.sink import write_stream_checkpointed
+
+    src = str(tmp_path / "sink_in")
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    transcripts_sdf.repartition(4).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = read_transcript_stream(spark, src, max_files_per_trigger=2)
+        q = write_stream_checkpointed(stream, out, ckpt, transform=lambda df: df.withColumn("one", F.lit(1)))
+        q.awaitTermination()
+
+    run()
+    rows1 = spark.read.parquet(out).count()
+    m1 = load_manifest(out)
+    assert rows1 == transcripts_sdf.count()
+    assert sum(b["rows"] for b in m1["stream_batches"].values()) == rows1
+    # restart with the same checkpoint: no new data, no new batches
+    run()
+    assert spark.read.parquet(out).count() == rows1
+    assert load_manifest(out)["stream_batches"].keys() == m1["stream_batches"].keys()
