@@ -205,5 +205,12 @@ def asof_join(
             left, right, on, ts_col, value_cols, right_tie_cols, inclusive, left_tie_cols, tolerance_s
         )
     if strategy == "cogroup":
+        if right_tie_cols or left_tie_cols:
+            # pd.merge_asof is ts-only; silently dropping the caller's tie
+            # semantics would change which row wins at duplicate timestamps
+            raise ValueError(
+                "tie columns are not supported by the cogroup strategy "
+                "(pd.merge_asof matches on ts only) — use strategy='union'"
+            )
         return asof_join_cogroup(left, right, on, ts_col, value_cols, inclusive, tolerance_s)
     raise ValueError(f"unknown as-of strategy: {strategy!r}")

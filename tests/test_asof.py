@@ -187,3 +187,9 @@ def test_asof_composite_key(spark, strategy):
         .reset_index(drop=True)
     )
     assert list(got["feat"]) == [1.0, 1.0, 2.0]  # t1 rows never see t2's feature
+
+
+def test_asof_cogroup_rejects_tie_columns(spark, asof_data):
+    _, _, lsdf, rsdf = asof_data
+    with pytest.raises(ValueError, match="tie columns"):
+        asof_join(lsdf, rsdf, value_cols=["feat"], strategy="cogroup", right_tie_cols=["ridx"])
