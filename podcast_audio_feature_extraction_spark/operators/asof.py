@@ -6,7 +6,7 @@ backfill merge: no feature at (conv_id, ts) may ever read a later ts.
 Analog of the reference's precompute-then-lookup
 (/root/reference/src/search/search.py:311-353).
 
-Spark has no native DataFrame as-of join; two plan-expressible strategies:
+Spark has no native DataFrame as-of join; three plan-expressible strategies:
 
 1. **union-trick** (default): tag sides, unionByName, then
    ``last(value, ignorenulls=True) OVER (PARTITION BY key ORDER BY ts, side)``
@@ -16,8 +16,12 @@ Spark has no native DataFrame as-of join; two plan-expressible strategies:
 2. **cogrouped merge_asof**: ``left.groupBy(key).cogroup(right.groupBy(key))
    .applyInPandas(pd.merge_asof ...)``. Two shuffles + Arrow transfer, but
    each conversation is merged by pandas' O(n+m) galloping merge — wins when
-   right side is wide (many value columns) or per-key logic grows (e.g.
-   tolerance windows). Used for heavy keys after salt-split.
+   per-key logic grows (e.g. tolerance windows). Used for heavy keys after
+   salt-split.
+
+3. **compact two-phase** (:func:`asof_join_compact`): union-trick over the
+   narrow keys only, then a hash join resolving the winning right-row id to
+   its wide values — the choice when feature vectors dominate sort traffic.
 
 Tie semantics: ``inclusive=True`` means a right row AT ts is visible
 (`<=`, matches ``pd.merge_asof(allow_exact_matches=True)`` and DuckDB
@@ -187,6 +191,58 @@ def asof_join_cogroup(
     )
 
 
+def asof_join_compact(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] = "conv_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    right_key_cols: list[str] | None = None,
+    inclusive: bool = True,
+    left_tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase as-of for WIDE right rows (strategy 3, generalized from
+    plans/backfill.py): phase 1 runs the union-trick over only the keys +
+    ts + ``right_key_cols`` (a unique right-row identifier, e.g. turn_idx),
+    so the sort never moves the wide value columns; phase 2 resolves the
+    winning right key to its values with a hash join that moves each wide
+    row exactly once and never sorts it. The right plan when value columns
+    (feature vectors, embeddings) dominate sort memory traffic.
+
+    ``right_key_cols`` must uniquely identify right rows within a key
+    group; they also serve as the tie order at duplicate timestamps.
+    """
+    keys = _as_list(on)
+    if not right_key_cols:
+        raise ValueError("asof_join_compact requires right_key_cols (a unique right-row id)")
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys + [ts_col] + list(right_key_cols)
+    ]
+    narrow = right.select(*keys, ts_col, *right_key_cols)
+    matched = asof_join_union(
+        left,
+        narrow,
+        on=on,
+        ts_col=ts_col,
+        value_cols=list(right_key_cols),
+        right_tie_cols=list(right_key_cols),
+        inclusive=inclusive,
+        left_tie_cols=left_tie_cols,
+    )
+    wide = right.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        *[F.col(k).alias(f"__r_{k}") for k in right_key_cols],
+        *value_cols,
+    )
+    cond = None
+    for k in list(keys) + list(right_key_cols):
+        c = matched[k] == wide[f"__r_{k}"]
+        cond = c if cond is None else (cond & c)
+    return matched.join(wide, cond, "left").drop(
+        *[f"__r_{k}" for k in list(keys) + list(right_key_cols)]
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -199,10 +255,17 @@ def asof_join(
     left_tie_cols: list[str] | None = None,
     tolerance_s: float | None = None,
 ) -> DataFrame:
-    """Dispatch between the two physical as-of strategies."""
+    """Dispatch between the physical as-of strategies."""
     if strategy == "union":
         return asof_join_union(
             left, right, on, ts_col, value_cols, right_tie_cols, inclusive, left_tie_cols, tolerance_s
+        )
+    if strategy == "compact":
+        if tolerance_s is not None:
+            raise ValueError("tolerance is not supported by the compact strategy yet — use 'union'")
+        return asof_join_compact(
+            left, right, on, ts_col, value_cols,
+            right_key_cols=right_tie_cols, inclusive=inclusive, left_tie_cols=left_tie_cols,
         )
     if strategy == "cogroup":
         if right_tie_cols or left_tie_cols:

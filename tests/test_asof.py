@@ -193,3 +193,21 @@ def test_asof_cogroup_rejects_tie_columns(spark, asof_data):
     _, _, lsdf, rsdf = asof_data
     with pytest.raises(ValueError, match="tie columns"):
         asof_join(lsdf, rsdf, value_cols=["feat"], strategy="cogroup", right_tie_cols=["ridx"])
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_asof_compact_matches_union(spark, asof_data, inclusive):
+    """Strategy 3 (narrow sort + wide hash resolve) must produce exactly
+    the union-trick's rows, including no-match lefts staying NULL."""
+    lpdf, rpdf, lsdf, rsdf = asof_data
+    kw = dict(on="conv_id", ts_col="ts", value_cols=["feat"], inclusive=inclusive,
+              right_tie_cols=["ridx"])
+    u = asof_join(lsdf, rsdf, strategy="union", **kw).toPandas()
+    c = asof_join(lsdf, rsdf, strategy="compact", **kw).toPandas()
+    u = u.sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+    c = c.sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+    assert len(u) == len(c)
+    uf = u["feat"].astype(float).to_numpy()
+    cf = c["feat"].astype(float).to_numpy()
+    both_nan = np.isnan(uf) & np.isnan(cf)
+    assert (both_nan | (uf == cf)).all()
