@@ -18,7 +18,7 @@ across the remaining stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from podcast_audio_feature_extraction_spark.functions.embedding import with_embedding
 from podcast_audio_feature_extraction_spark.operators.asof import asof_join
@@ -63,34 +63,20 @@ def backfill_features(
     )
     paired = strategy in ("union", "compact") and "turn_idx" in frame.columns
     if strategy == "compact":
-        # two-phase as-of: the union-trick sort touches only narrow key
-        # rows (the wide functionals/embedding arrays would otherwise
-        # dominate the sort's memory traffic); the winning feature key is
-        # then resolved to its vectors with a hash join, which moves the
-        # wide rows exactly once and never sorts them.
-        matched = asof_join(
+        # two-phase as-of (generic asof_join_compact): the union-trick sort
+        # touches only narrow key rows — the wide functionals/embedding
+        # arrays move exactly once through the resolving hash join.
+        return asof_join(
             frame,
-            right.select("conv_id", "ts", "feat_turn_idx"),
+            right,
             on="conv_id",
             ts_col="ts",
-            value_cols=["feat_turn_idx"],
+            value_cols=["feat_session_id", "functionals", "embedding"],
             inclusive=inclusive,
-            strategy="union",
+            strategy="compact",
             right_tie_cols=["feat_turn_idx"],
             left_tie_cols=["turn_idx"] if paired else None,
         )
-        wide = right.select(
-            F.col("conv_id").alias("__f_conv_id"),
-            F.col("feat_turn_idx").alias("__f_turn_idx"),
-            "feat_session_id",
-            "functionals",
-            "embedding",
-        )
-        return matched.join(
-            wide,
-            (matched.conv_id == wide.__f_conv_id) & (matched.feat_turn_idx == wide.__f_turn_idx),
-            "left",
-        ).drop("__f_conv_id", "__f_turn_idx")
     return asof_join(
         frame,
         right,
