@@ -869,11 +869,11 @@ def oracle_sql() -> dict[str, str]:
     turn_features_inner = f"""
         SELECT conv_id, turn_idx, ts, token_cnt, char_len, is_tool_use,
                prev_role, next_role, role_changed, gap_s,
-               round(roll_token_mean, 6) AS roll_token_mean,
-               round(roll_token_std, 6)  AS roll_token_std,
+               round(roll_token_mean, 6) + 0.0 AS roll_token_mean,
+               round(roll_token_std, 6) + 0.0  AS roll_token_std,
                roll_token_min, roll_token_max, roll_tool_cnt,
-               round(roll_val_mean, 6)   AS roll_val_mean,
-               round(roll_val_std, 6)    AS roll_val_std,
+               round(roll_val_mean, 6) + 0.0   AS roll_val_mean,
+               round(roll_val_std, 6) + 0.0    AS roll_val_std,
                roll_val_min, roll_val_max,
                round(roll_val_p20, 6) + 0.0   AS roll_val_p20,
                round(roll_val_p80, 6) + 0.0   AS roll_val_p80,

@@ -94,8 +94,12 @@ def quality_cols(text_col: Column, round_digits: int = 6) -> dict[str, Column]:
         "stopword_ratio": F.round(en_stop / safe_n.cast("double"), round_digits),
         "type_token_ratio": F.round(F.size(F.array_distinct(toks)) / safe_n.cast("double"), round_digits),
         "punct_ratio": F.round(punct / F.greatest(chars, F.lit(1)).cast("double"), round_digits),
+        # a doc with no possible trigram is NOT boilerplate: ratio 0, not 1
         "rep_3gram_ratio": F.round(
-            F.lit(1.0) - F.size(F.array_distinct(kgrams)) / F.greatest(n_k, F.lit(1)).cast("double"),
+            F.when(
+                n_k > 0,
+                F.lit(1.0) - F.size(F.array_distinct(kgrams)) / n_k.cast("double"),
+            ).otherwise(F.lit(0.0)),
             round_digits,
         ),
         "n_urls": F.size(F.regexp_extract_all(F.coalesce(text_col, F.lit("")), F.lit(URL_PATTERN), 0)).cast(
@@ -124,7 +128,7 @@ def quality_sql(text_expr: str = "text", round_digits: int = 6) -> dict[str, str
         "stopword_ratio": f"round(CAST(len(list_intersect(list_transform({toks}, t -> lower(t)), {en})) AS DOUBLE) / {safe_n}, {round_digits})",
         "type_token_ratio": f"round(CAST(len(list_distinct({toks})) AS DOUBLE) / {safe_n}, {round_digits})",
         "punct_ratio": f"round(CAST(len(regexp_extract_all(COALESCE({text_expr},''), '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest({chars}, 1), {round_digits})",
-        "rep_3gram_ratio": f"round(1.0 - CAST(len(list_distinct({kgrams})) AS DOUBLE) / greatest(len({kgrams}), 1), {round_digits})",
+        "rep_3gram_ratio": f"round(CASE WHEN len({kgrams}) > 0 THEN 1.0 - CAST(len(list_distinct({kgrams})) AS DOUBLE) / len({kgrams}) ELSE 0.0 END, {round_digits})",
         "n_urls": f"CAST(len(regexp_extract_all(COALESCE({text_expr},''), 'https?://[^\\s]+')) AS INT)",
         "n_emails": f"CAST(len(regexp_extract_all(COALESCE({text_expr},''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT)",
     }

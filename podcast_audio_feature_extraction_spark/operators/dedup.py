@@ -49,6 +49,17 @@ def minhash_col(shingles: Column, n_hashes: int = 12) -> Column:
     )
 
 
+def band_keys_col(minhashes: Column, n_bands: int, band_size: int) -> Column:
+    """LSH band keys: md5 over each band's '|'-joined minhashes. THE single
+    definition of the banding scheme — self-join, block-reroute and
+    cross-table contamination candidates are only comparable because every
+    site builds band keys through this one expression."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(F.array_join(F.slice(minhashes, b * band_size + 1, band_size), "|")),
+    )
+
+
 def jaccard_col(a: Column, b: Column, round_digits: int = 6) -> Column:
     return F.round(
         F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b)).cast("double"), round_digits
@@ -83,12 +94,7 @@ def minhash_lsh_pairs(
     bands = docs.select(
         "doc_id",
         "shingles",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(F.array_join(F.slice(F.col("minhashes"), b * band_size + 1, band_size), "|")),
-            )
-        ).alias("band_idx", "band_key"),
+        F.posexplode(band_keys_col(F.col("minhashes"), n_bands, band_size)).alias("band_idx", "band_key"),
     )
     if max_bucket is not None:
         from pyspark.sql.window import Window
@@ -277,27 +283,36 @@ def dedup_clusters(
     labels = docs.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
     e = e.localCheckpoint()  # edges reused every round: cut the re-read
     labels = labels.localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         neigh = (
             e.join(labels, e.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the old label through the SAME pass so the fixpoint probe
+        # is a filter over the checkpointed result, not a second full join
         new_labels = (
             labels.join(neigh, "node", "left")
-            .select("node", F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"))
+            .select(
+                "node",
+                F.col("label").alias("__old"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would let duplicates survive
+        # dedup AND diverge from the exact recursive-closure oracle
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            "(a near-dup chain longer than max_iters hops exists) — raise max_iters"
+        )
     return labels.select(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),
@@ -356,12 +371,7 @@ def _block_lsh_pairs(
         "grp",
         "doc_id",
         "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(F.array_join(F.slice(F.col("minhashes"), b * band_size + 1, band_size), "|")),
-            )
-        ).alias("band_idx", "band_key"),
+        F.posexplode(band_keys_col(F.col("minhashes"), n_bands, band_size)).alias("band_idx", "band_key"),
     )
     a = bands.select("grp", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band_idx", "band_key")
     b = bands.select("grp", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band_idx", "band_key")

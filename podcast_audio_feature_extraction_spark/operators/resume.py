@@ -85,7 +85,20 @@ def compact_buckets(
     import shutil
 
     manifest = load_manifest(out_dir)
-    stats = {"compacted": [], "skipped": [], "rows": 0}
+    stats = {"compacted": [], "skipped": [], "repaired": [], "rows": 0}
+    # crash repair: a previous compaction interrupted between the two
+    # renames leaves bucket=N.old (data intact) without bucket=N — restore
+    # it; an .old WITH a live bucket is a completed swap's leftover.
+    for name in list(os.listdir(out_dir)):
+        if name.endswith(".old"):
+            old, live = os.path.join(out_dir, name), os.path.join(out_dir, name[: -len(".old")])
+            if os.path.isdir(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
+                stats["repaired"].append(name[: -len(".old")])
+        elif name.endswith(".compact.tmp"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     for b, meta in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0])):
         bdir = os.path.join(out_dir, f"bucket={b}")
         if not os.path.isdir(bdir):
@@ -102,8 +115,13 @@ def compact_buckets(
         if n_new != meta["rows"]:  # refuse to swap on any row-count drift
             shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(f"bucket {b}: compacted rows {n_new} != manifest {meta['rows']}")
-        shutil.rmtree(bdir)
-        os.replace(tmp, bdir)
+        # two-rename swap: a crash anywhere leaves the data recoverable
+        # (either bdir or bdir.old exists), never silently lost — the
+        # repair pass above restores an interrupted swap on the next run
+        old = bdir + ".old"
+        os.rename(bdir, old)
+        os.rename(tmp, bdir)
+        shutil.rmtree(old)
         meta["compacted_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         stats["compacted"].append(int(b))
         stats["rows"] += n_new

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from podcast_audio_feature_extraction_spark.operators.dedup import (
+    band_keys_col,
     jaccard_col,
     minhash_col,
     shingles_col,
@@ -161,12 +162,7 @@ def contamination_pairs(
         return docs.select(
             out_id,
             out_sh,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda b: F.md5(F.array_join(F.slice(F.col("__mh"), b * band_size + 1, band_size), "|")),
-                )
-            ).alias("band_idx", "band_key"),
+            F.posexplode(band_keys_col(F.col("__mh"), n_bands, band_size)).alias("band_idx", "band_key"),
         )
 
     c = bands(corpus, "corpus_id", "sh_c")

@@ -203,9 +203,19 @@ def _nearest_centroids_udf(centroids, nprobe: int):
     @F.pandas_udf(ArrayType(IntegerType()))
     def nearest(vecs: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; stable sort pins the
-        # lowest-centroid-id-wins tie rule the SQL twin uses (ORDER BY d, cid)
-        d = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2. Dot products accumulate
+        # PER DIMENSION IN ASCENDING ORDER (not BLAS matmul): the DuckDB
+        # twin folds list_reduce over dims sequentially, and a different
+        # summation order can flip near-tied centroid assignments in the
+        # last ulp. Stable sort pins the lowest-centroid-id tie rule the
+        # twin's ORDER BY d, cid uses.
+        n, k = len(x), cent.shape[0]
+        dot = np.zeros((n, k))
+        cc = np.zeros(k)
+        for i in range(cent.shape[1]):
+            dot += x[:, i : i + 1] * cent[None, :, i]
+            cc += cent[:, i] * cent[:, i]
+        d = -2.0 * dot + cc[None, :]
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in idx])
 

@@ -184,3 +184,15 @@ def test_dedup_clusters_connected_components(spark):
     got = dedup_clusters(docs, pairs).toPandas().set_index("doc_id").sort_index()
     assert list(got["cluster_id"]) == [1, 1, 1, 4, 4, 6]
     assert list(got["is_keeper"]) == [1, 0, 0, 1, 0, 1]
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    from podcast_audio_feature_extraction_spark.operators.dedup import dedup_clusters
+
+    # a 5-hop chain cannot converge in 2 rounds
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(6))}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [0, 1, 2, 3, 4], "doc_b": [1, 2, 3, 4, 5], "jaccard": [1.0] * 5})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, max_iters=2)

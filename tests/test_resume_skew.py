@@ -173,3 +173,17 @@ def test_compact_buckets_preserves_rows(spark, transcripts_sdf, tmp_path):
     assert len(a) == len(b)
     assert (a["conv_id"].to_numpy() == b["conv_id"].to_numpy()).all()
     assert (a["turn_idx"].to_numpy() == b["turn_idx"].to_numpy()).all()
+
+
+def test_compact_buckets_repairs_interrupted_swap(spark, transcripts_sdf, tmp_path):
+    import os
+    from podcast_audio_feature_extraction_spark.operators.resume import compact_buckets
+
+    out = str(tmp_path / "repairable")
+    run_resumable(lambda df: df, transcripts_sdf, out, n_buckets=2, batch_size=2)
+    rows = spark.read.parquet(out).count()
+    # simulate a crash between the two renames: bucket=0 moved aside, not replaced
+    os.rename(f"{out}/bucket=0", f"{out}/bucket=0.old")
+    stats = compact_buckets(spark, out, files_per_bucket=1)
+    assert stats["repaired"] == ["bucket=0"]
+    assert spark.read.parquet(out).count() == rows  # nothing lost

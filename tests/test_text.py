@@ -88,3 +88,13 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     got = unigram_surprisal(df).toPandas().set_index("doc_id")
     assert got.loc[2, "mean_surprisal"] > got.loc[1, "mean_surprisal"]
     assert got.loc[1, "n_tokens"] == 4
+
+
+def test_rep_ratio_zero_for_short_docs(spark):
+    from podcast_audio_feature_extraction_spark.functions.text import quality_cols
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", ""]}))
+    q = quality_cols(F.col("text"))
+    got = df.select("doc_id", q["rep_3gram_ratio"].alias("r")).toPandas().set_index("doc_id")["r"]
+    # no possible trigram != maximally repetitive
+    assert got[1] == 0.0 and got[2] == 0.0
