@@ -81,7 +81,7 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     timings: dict[str, float] = {}
     for name in headline:
         best = None
-        for _ in range(2):  # best-of-2 damps the sandbox's throttling phases
+        for _ in range(3):  # best-of-3 damps the sandbox's multi-second throttling phases
             t0 = time.perf_counter()
             _materialize(qfns[name](spark, sf_dir))
             dt = time.perf_counter() - t0
