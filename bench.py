@@ -103,7 +103,7 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     segs_stored = spark.read.parquet(f"{tmpdir}/segs")
     dim_stored = spark.read.parquet(f"{tmpdir}/dim")
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         _materialize(bm25_topk(segs_stored, "click error purchase", dim_stored, k=100))
         dt = time.perf_counter() - t0
@@ -113,7 +113,7 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
 
     # flagship: full feature build + as-of backfill (the north_rule metric)
     flagship_s = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         _materialize(flagship(load_transcript(spark, sf_dir)))
         dt = time.perf_counter() - t0
