@@ -171,3 +171,22 @@ def test_resize_pooled_block_average(spark):
     assert bad.toPandas()["media_id"].tolist() == ["img2"]
     want = px.reshape(4, 4).astype(float).reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel() / 256.0
     np.testing.assert_allclose(np.array(got.loc["img1", "pixels"]), want)
+
+
+def test_read_metadata_tsv_and_qrels(spark, tmp_path):
+    from podcast_audio_feature_extraction_spark.sources.tabular import read_metadata_tsv, read_qrels
+
+    tsv = tmp_path / "metadata.tsv"
+    hdr = "episode_uri\tshow_name\tshow_description\tpublisher\tlanguage\tshow_filename_prefix\tepisode_filename_prefix\tepisode_name\tepisode_description\tduration"
+    row = 'spotify:episode:abc\tMy "Show"\tA desc\tPub\ten\tshow_1\tep_1\tEp One\t"has\ttab? no, quoted"\t12.5'
+    tsv.write_text(hdr + "\n" + row + "\n")
+    got = read_metadata_tsv(spark, str(tsv)).toPandas()
+    assert got.loc[0, "episode_uri"] == "spotify:episode:abc"
+    assert got.loc[0, "duration"] == 12.5
+
+    qrels = tmp_path / "qrels.list"
+    qrels.write_text("1 0 ep_1_60 2\n1 0  ep_2_120  0\n\n8 0 ep_9_0 1\n")
+    q = read_qrels(spark, str(qrels)).toPandas().sort_values(["topic_id", "seg_id"]).reset_index(drop=True)
+    assert len(q) == 3
+    assert list(q["topic_id"]) == [1, 1, 8]
+    assert q.loc[0, "seg_id"] == "ep_1_60" and q.loc[0, "grade"] == 2
