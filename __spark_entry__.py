@@ -157,6 +157,16 @@ def q_window_functionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_functionals(t, "120 seconds", "60 seconds")
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation robust scaling of val (median/IQR, the
+    stddevNorm-family normalization) — one whole-partition window pass."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.functionals import robust_scale
+
+    t = load_transcript(spark, sf_dir)
+    return robust_scale(t).select("conv_id", "turn_idx", "val_scaled")
+
+
 def q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment index table (W1/A6/A7/A10, index.py lifecycle)."""
     _utc(spark)
@@ -818,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_embedding": q_turn_embedding,
         "turn_features": q_turn_features,
         "window_functionals": q_window_functionals,
+        "robust_scale": q_robust_scale,
         "segments": q_segments,
         "asof_backfill": q_asof_backfill,
         "interval_join": q_interval_join,
@@ -909,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_embedding": _with_transcript(_turn_embedding_sql(dim=16)),
         "turn_features": _with_transcript(turn_features_inner),
         "window_functionals": _with_transcript(window_functionals_sql(120, 60)),
+        "robust_scale": _with_transcript(_robust_scale_sql()),
         "segments": _with_transcript(build_segments_sql(120, 60)),
         "interval_join": _with_transcript(_interval_fetch_sql()),
         "asof_backfill": _with_transcript(
@@ -1149,6 +1161,16 @@ def _bm25_sql() -> str:
     from podcast_audio_feature_extraction_spark.operators.search import bm25_topk_sql
 
     return bm25_topk_sql("click error purchase", k=100)
+
+
+def _robust_scale_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.functionals import robust_scale_sql
+
+    return (
+        "SELECT conv_id, turn_idx, val_scaled FROM ("
+        + robust_scale_sql(src="transcript")
+        + ")"
+    )
 
 
 def _mood_scores_sql() -> str:

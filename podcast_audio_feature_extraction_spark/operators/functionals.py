@@ -135,6 +135,55 @@ def window_functionals(
     )
 
 
+def robust_scale(
+    df: DataFrame,
+    val_col: str = "val",
+    by: str = "conv_id",
+    out_col: str = "val_scaled",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-entity robust scaling: (val - median) / IQR — the outlier-proof
+    normalization the eGeMAPS '*_stddevNorm' family approximates, computed
+    per conversation so a loud entity cannot dominate the corpus scale.
+
+    ONE whole-partition window pass (percentile over the entity frame):
+    single shuffle on the entity key, no join back. Zero-IQR entities
+    (constant val) scale to 0.0. `round + 0.0` normalizes IEEE -0.0 for
+    the cross-engine gate."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by)
+    v = F.col(val_col).cast("double")
+    pct = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).over(w)
+    df = df.withColumn("__pct", pct)
+    iqr = F.col("__pct")[2] - F.col("__pct")[0]
+    scaled = F.when(iqr > 0, (v - F.col("__pct")[1]) / iqr).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(scaled, round_digits) + F.lit(0.0)).drop("__pct")
+
+
+def robust_scale_sql(
+    src: str = "transcript",
+    val_col: str = "val",
+    by: str = "conv_id",
+    out_col: str = "val_scaled",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`robust_scale` (fragment: full SELECT)."""
+    return f"""
+        SELECT * EXCLUDE (__p25, __p50, __p75),
+               round(CASE WHEN (__p75 - __p25) > 0
+                          THEN ({val_col} - __p50) / (__p75 - __p25)
+                          ELSE 0.0 END, {round_digits}) + 0.0 AS {out_col}
+        FROM (
+            SELECT t.*,
+                   quantile_cont({val_col}, 0.25) OVER (PARTITION BY {by}) AS __p25,
+                   quantile_cont({val_col}, 0.50) OVER (PARTITION BY {by}) AS __p50,
+                   quantile_cont({val_col}, 0.75) OVER (PARTITION BY {by}) AS __p75
+            FROM {src} t
+        )
+    """
+
+
 def window_functionals_sql(
     length_s: int = 120,
     hop_s: int = 60,

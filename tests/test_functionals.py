@@ -81,3 +81,20 @@ def test_segments_approx_speakers_drops_a_shuffle(spark, transcripts_sdf):
     e = build_segments(transcripts_sdf).toPandas()
     m = a.sort_values("seg_id").reset_index(drop=True), e.sort_values("seg_id").reset_index(drop=True)
     assert (m[0]["seg_speakers"].to_numpy() == m[1]["seg_speakers"].to_numpy()).all()
+
+
+def test_robust_scale_known_values(spark):
+    from podcast_audio_feature_extraction_spark.operators.functionals import robust_scale
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 5 + ["b"] * 3,
+            "turn_idx": list(range(5)) + list(range(3)),
+            "val": [10.0, 20.0, 30.0, 40.0, 50.0, 7.0, 7.0, 7.0],  # b is constant
+        }
+    )
+    got = robust_scale(spark.createDataFrame(pdf)).toPandas().set_index(["conv_id", "turn_idx"])["val_scaled"]
+    # a: median 30, IQR = 40-20 = 20 -> values (-1, -0.5, 0, 0.5, 1)
+    assert got[("a", 0)] == -1.0 and got[("a", 2)] == 0.0 and got[("a", 4)] == 1.0
+    # constant group: IQR 0 -> all 0.0 (not NaN/inf)
+    assert (got.loc["b"] == 0.0).all()
