@@ -645,6 +645,21 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a non-equi condition — orders
+    having at least one lineitem shipped more than 60 days after the order
+    date, counted per priority."""
+    _utc(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > F.date_add(o.o_orderdate, 60))
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
 def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
     distribution of customers by order count (zero-order customers kept)."""
@@ -870,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "small_qty_revenue": q_small_qty_revenue,
         "custdist": q_custdist,
+        "late_orders": q_late_orders,
         "revenue_deciles": q_revenue_deciles,
         "antijoin_customers": q_antijoin_customers,
         "json_extract": q_json_extract,
@@ -1050,6 +1066,16 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 0.2 * avg(l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = lineitem.l_partkey
               )
+        """,
+        "late_orders": """
+            SELECT o_orderpriority, count(*) AS n_late_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
         """,
         "custdist": """
             SELECT c_count, count(*) AS custdist FROM (
