@@ -157,6 +157,16 @@ def q_window_functionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_functionals(t, "120 seconds", "60 seconds")
 
 
+def q_window_functionals_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 matrix form: functionals over SEVERAL descriptors (val + token
+    count) in one groupBy pass — the 88-column eGeMAPS table shape."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.functionals import window_functionals_multi
+
+    t = load_transcript(spark, sf_dir).withColumn("tok", token_count(F.col("text")).cast("double"))
+    return window_functionals_multi(t, ["val", "tok"])
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation robust scaling of val (median/IQR, the
     stddevNorm-family normalization) — one whole-partition window pass."""
@@ -843,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_embedding": q_turn_embedding,
         "turn_features": q_turn_features,
         "window_functionals": q_window_functionals,
+        "window_functionals_multi": q_window_functionals_multi,
         "robust_scale": q_robust_scale,
         "segments": q_segments,
         "asof_backfill": q_asof_backfill,
@@ -936,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_embedding": _with_transcript(_turn_embedding_sql(dim=16)),
         "turn_features": _with_transcript(turn_features_inner),
         "window_functionals": _with_transcript(window_functionals_sql(120, 60)),
+        "window_functionals_multi": _with_transcript(_wf_multi_sql()),
         "robust_scale": _with_transcript(_robust_scale_sql()),
         "segments": _with_transcript(build_segments_sql(120, 60)),
         "interval_join": _with_transcript(_interval_fetch_sql()),
@@ -1187,6 +1199,16 @@ def _bm25_sql() -> str:
     from podcast_audio_feature_extraction_spark.operators.search import bm25_topk_sql
 
     return bm25_topk_sql("click error purchase", k=100)
+
+
+def _wf_multi_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.functionals import window_functionals_multi_sql
+
+    toks = "list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')"
+    return (
+        f", __m AS (SELECT transcript.*, CAST(len({toks}) AS DOUBLE) AS tok FROM transcript) "
+        + window_functionals_multi_sql(["val", "tok"], 120, 60, src="__m")
+    )
 
 
 def _robust_scale_sql() -> str:

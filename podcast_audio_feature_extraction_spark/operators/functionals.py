@@ -135,6 +135,99 @@ def window_functionals(
     )
 
 
+def window_functionals_multi(
+    df: DataFrame,
+    val_cols: list[str],
+    length: str = "120 seconds",
+    hop: str = "60 seconds",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The functional MATRIX form: the reference computes 88 functionals =
+    (several aggregations) x (25 eGeMAPS low-level descriptors) per window
+    (CLEF §4.1). This emits mean/pop-std/min/max/median per value column,
+    all in the SAME single groupBy pass — columns scale the aggregate
+    list, never the shuffle count. Output columns are ``{col}_{stat}``.
+    """
+    length_s, hop_s = _dur_s(length), _dur_s(hop)
+    if length_s % hop_s:
+        raise ValueError("window length must be a multiple of hop")
+    n_shifts = length_s // hop_s
+
+    us = ts_micros(F.col(ts_col))
+    base_s = F.floor(us / F.lit(1e6) / F.lit(hop_s)).cast("long") * F.lit(hop_s)
+    expanded = (
+        df.select(
+            F.col(conv_col),
+            *[F.col(c).cast("double").alias(c) for c in val_cols],
+            us.alias("__us"),
+            base_s.alias("__base_s"),
+            F.explode(F.array(*[F.lit(i * hop_s) for i in range(n_shifts)])).alias("__shift_s"),
+        )
+        .select("*", (F.col("__base_s") - F.col("__shift_s")).alias("__ws_s"))
+        .filter(
+            (F.col("__us") >= F.col("__ws_s") * F.lit(1_000_000))
+            & (F.col("__us") < (F.col("__ws_s") + F.lit(length_s)) * F.lit(1_000_000))
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    pct_cols = {}
+    for c in val_cols:
+        v = F.col(c)
+        aggs += [
+            F.round(F.avg(v), round_digits).alias(f"{c}_mean"),
+            F.round(F.coalesce(F.stddev_pop(v), F.lit(0.0)), round_digits).alias(f"{c}_std"),
+            F.min(v).alias(f"{c}_min"),
+            F.max(v).alias(f"{c}_max"),
+            F.percentile(v, F.lit(0.5)).alias(f"__{c}_med"),
+        ]
+        pct_cols[f"{c}_median"] = f"__{c}_med"
+    out = expanded.groupBy(conv_col, "__ws_s").agg(*aggs)
+    out = out.withColumns({name: F.round(F.col(src), round_digits) for name, src in pct_cols.items()})
+    return out.select(
+        conv_col,
+        F.timestamp_seconds(F.col("__ws_s")).cast("timestamp_ntz").alias("win_start"),
+        "n",
+        *[f"{c}_{s}" for c in val_cols for s in ("mean", "std", "min", "max", "median")],
+    )
+
+
+def window_functionals_multi_sql(
+    val_cols: list[str],
+    length_s: int = 120,
+    hop_s: int = 60,
+    src: str = "transcript",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`window_functionals_multi`."""
+    n_shifts = length_s // hop_s
+    shifts = ", ".join(f"({i * hop_s})" for i in range(n_shifts))
+    stat_cols = []
+    for c in val_cols:
+        stat_cols += [
+            f"round(avg({c}), {round_digits}) AS {c}_mean",
+            f"round(COALESCE(stddev_pop({c}), 0.0), {round_digits}) AS {c}_std",
+            f"min({c}) AS {c}_min",
+            f"max({c}) AS {c}_max",
+            f"round(quantile_cont({c}, 0.5), {round_digits}) AS {c}_median",
+        ]
+    cols = ",\n               ".join(stat_cols)
+    return f"""
+        SELECT conv_id,
+               make_timestamp(ws_s * 1000000) AS win_start,
+               count(*) AS n,
+               {cols}
+        FROM (
+            SELECT t0.*, CAST(floor(epoch_us(ts) / 1e6 / {hop_s}) AS BIGINT) * {hop_s} - off.o AS ws_s
+            FROM {src} t0 CROSS JOIN (VALUES {shifts}) AS off(o)
+        )
+        WHERE epoch_us(ts) >= ws_s * 1000000
+          AND epoch_us(ts) <  (ws_s + {length_s}) * 1000000
+        GROUP BY conv_id, ws_s
+    """
+
+
 def robust_scale(
     df: DataFrame,
     val_col: str = "val",
