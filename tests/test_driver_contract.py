@@ -34,3 +34,28 @@ def test_all_queries_are_callables_with_driver_signature():
     for name, fn in e.queries().items():
         params = list(inspect.signature(fn).parameters)
         assert params == ["spark", "sf_dir"], f"{name}: {params}"
+
+
+def test_all_query_outputs_are_scalar(spark):
+    """The DRIVER's canonicalizer sorts/hashes result cells and dies on
+    arrays/maps/structs (round-1's only red row). Every query's output
+    schema must be purely scalar."""
+    import os
+
+    import __spark_entry__ as e
+    from pyspark.sql import types as T
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    bad = {}
+    for name, fn in e.queries().items():
+        schema = fn(spark, sf).schema
+        nonscalar = [
+            f.name for f in schema.fields if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not bad, f"non-scalar driver outputs: {bad}"
