@@ -319,7 +319,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_audio_feature_extraction_spark.operators.dedup import minhash_lsh_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(d, jaccard_threshold=0.05)
+    # explicit max_bucket=None: CI parity with the uncapped all-pairs
+    # oracle (the library DEFAULT is the capped scale-safe mode)
+    return minhash_lsh_pairs(d, jaccard_threshold=0.05, max_bucket=None)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +332,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_audio_feature_extraction_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup_clusters(d, minhash_lsh_pairs(d, jaccard_threshold=0.05))
+    return dedup_clusters(d, minhash_lsh_pairs(d, jaccard_threshold=0.05, max_bucket=None))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,7 +350,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_audio_feature_extraction_spark.operators.dedup import ngram_jaccard_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(d).filter(F.col("jaccard") > 0)
+    # explicit max_block=None: exact all-pairs for CI parity (the library
+    # DEFAULT reroutes oversized blocks through minhash-LSH)
+    return ngram_jaccard_pairs(d, max_block=None).filter(F.col("jaccard") > 0)
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,7 +409,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_audio_feature_extraction_spark.operators.similarity import embedding_near_dup_pairs
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(e, threshold=0.4)
+    # explicit n_bits=0: exact all-pairs for CI parity (the library
+    # DEFAULT is the sign-LSH bucketed scale-safe mode)
+    return embedding_near_dup_pairs(e, threshold=0.4, n_bits=0)
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

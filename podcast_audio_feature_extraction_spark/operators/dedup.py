@@ -73,18 +73,20 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     band_size: int = 3,
     jaccard_threshold: float = 0.2,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified by exact shingle Jaccard.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, distinct.
 
-    ``max_bucket`` drops degenerate buckets (e.g. the all-empty-text
-    bucket) before the self-join — at 100 TB a hot bucket of B docs costs
-    B^2 candidate pairs, so capping is the difference between an LSH join
-    and an accidental cross join. Capped buckets are skew outliers by
-    construction (near-identical boilerplate); route them to exact dedup.
-    """
+    ``max_bucket`` (DEFAULT 2000 — scale-safe) drops degenerate buckets
+    (e.g. the all-empty-text bucket) before the self-join — at 100 TB a
+    hot bucket of B docs costs B^2 candidate pairs, so capping is the
+    difference between an LSH join and an accidental cross join. Capped
+    buckets are skew outliers by construction (near-identical
+    boilerplate); route them to exact dedup. Pass ``max_bucket=None``
+    EXPLICITLY for the uncapped mode (CI parity with the all-pairs
+    oracle)."""
     n_bands = n_hashes // band_size
     docs = df.select(
         F.col(id_col).alias("doc_id"),
@@ -390,19 +392,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = SHINGLE_K,
     round_digits: int = 6,
-    max_block: int | None = None,
+    max_block: int | None = 2000,
 ) -> DataFrame:
     """n-gram Jaccard pairs within a blocking group (J2-style blocked
     theta join; blocking keeps the pair count bounded).
 
-    ``max_block`` bounds the quadratic exposure: a block of B docs costs
-    B^2/2 pairs, so at 100x data a popular block would dominate the job.
-    Blocks larger than ``max_block`` are REROUTED through minhash-LSH
-    candidate generation (same band scheme as :func:`minhash_lsh_pairs`)
-    instead of being silently dropped — high-Jaccard pairs still surface
-    (near-dups collide in bands w.h.p.), only the hopeless low-similarity
-    tail of a huge block is skipped. None = all-pairs everywhere (exact;
-    CI scale)."""
+    ``max_block`` (DEFAULT 2000 — scale-safe) bounds the quadratic
+    exposure: a block of B docs costs B^2/2 pairs, so at 100x data a
+    popular block would dominate the job. Blocks larger than ``max_block``
+    are REROUTED through minhash-LSH candidate generation (same band
+    scheme as :func:`minhash_lsh_pairs`) instead of being silently
+    dropped — high-Jaccard pairs still surface (near-dups collide in
+    bands w.h.p.), only the hopeless low-similarity tail of a huge block
+    is skipped. Pass ``max_block=None`` EXPLICITLY for all-pairs
+    everywhere (exact; CI-parity scale only)."""
     docs = df.select(
         F.col(group_col).alias("grp"), F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("sh")
     )

@@ -300,15 +300,17 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 0,
+    n_bits: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup mode): (a, b, cos) with
     a < b and cos >= threshold.
 
-    n_bits=0 compares all pairs (exact; quadratic — CI scale); n_bits>0
-    restricts to sign-LSH bucket collisions (the 100 TB path: candidates
-    drop ~2^n_bits-fold; near-dups at cos>=0.95 collide in leading-sign
-    buckets with high probability)."""
+    The DEFAULT (n_bits=4) is the scale-safe path: candidates restricted
+    to sign-LSH bucket collisions (~2^n_bits-fold candidate drop; near-dups
+    at cos>=0.95 collide in leading-sign buckets with high probability).
+    Pass n_bits=0 EXPLICITLY for the exact all-pairs mode (quadratic
+    crossJoin — CI-parity scale only; a 100 TB caller should never reach
+    it by accident)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     if n_bits > 0:

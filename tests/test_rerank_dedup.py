@@ -173,6 +173,49 @@ def test_ngram_jaccard_max_block_reroutes_through_lsh(spark):
     assert set(zip(hi["doc_a"], hi["doc_b"])) <= cp
 
 
+def test_pair_operators_default_to_scale_safe_modes(spark):
+    """API-default audit (round-2 verdict): calling the pair operators with
+    DEFAULTS must route through the bucketed/capped paths — a 100 TB caller
+    should never get a quadratic plan by accident. Exact modes require an
+    explicit n_bits=0 / max_block=None / max_bucket=None."""
+    import inspect
+
+    from podcast_audio_feature_extraction_spark.operators.dedup import (
+        minhash_lsh_pairs as mh,
+        ngram_jaccard_pairs as ng,
+    )
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        embedding_near_dup_pairs as nd,
+    )
+
+    assert inspect.signature(mh).parameters["max_bucket"].default is not None
+    assert inspect.signature(ng).parameters["max_block"].default is not None
+    assert inspect.signature(nd).parameters["n_bits"].default > 0
+
+    # default embedding near-dup plan: bucket equi-join, never a cross join
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [
+                    [1.0, 2.0, 0.5, -0.5],
+                    [1.0, 2.1, 0.5, -0.4],
+                    [-1.0, 0.5, -2.0, 1.0],
+                ],
+            }
+        )
+    )
+    plan = nd(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # default ngram plan contains the LSH reroute branch (union of exact
+    # small blocks + LSH-candidate big blocks), proving the cap is live
+    docs = spark.createDataFrame(
+        pd.DataFrame({"source": ["s", "s"], "doc_id": [1, 2], "text": ["a b c d", "a b c e"]})
+    )
+    assert "Union" in ng(docs)._jdf.queryExecution().analyzed().toString()
+
+
 def test_dedup_clusters_connected_components(spark):
     from podcast_audio_feature_extraction_spark.operators.dedup import dedup_clusters
 
