@@ -808,6 +808,38 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(build_segments(t), "click error purchase", conv_dimension(t), k=100)
 
 
+def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 production shape: build the term-keyed index stats ONCE (the
+    prebuilt-ES-index analog, reference search.py:174-214), then serve TWO
+    different query strings off the same stored (term, df) + field-meta
+    tables — per-query cost is one scoring scan, not a fresh corpus
+    aggregate."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.search import (
+        bm25_index,
+        bm25_stats_from_index,
+        bm25_topk,
+        conv_dimension,
+    )
+
+    t = load_transcript(spark, sf_dir)
+    segs = build_segments(t)
+    dim = conv_dimension(t)
+    term_df, meta = bm25_index(segs, dim)
+    out = None
+    for q in BM25_INDEXED_QUERIES:
+        terms = [x for x in q.lower().split() if x]
+        stats = bm25_stats_from_index(term_df, meta, terms, ["seg_words", "dim_text"])
+        r = bm25_topk(segs, q, dim, k=100, stats=stats).select(
+            F.lit(q).alias("query"), "seg_id", "bm25"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+BM25_INDEXED_QUERIES = ("click error purchase", "signup view")
+
+
 def q_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-side candidate retrieval (S9/T1/J3): scored top-k segments."""
     _utc(spark)
@@ -859,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "search_topk": q_search_topk,
         "search_bm25": q_search_bm25,
+        "search_bm25_indexed": q_search_bm25_indexed,
         "argmax_match": q_argmax_match,
         "search_eval": q_search_eval,
         "tokenize_pad": q_tokenize_pad,
@@ -1020,6 +1053,9 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": _with_transcript(
             f", segments AS ({build_segments_sql(120, 60)}) " + _bm25_sql()
         ),
+        "search_bm25_indexed": _with_transcript(
+            f", segments AS ({build_segments_sql(120, 60)}) " + _bm25_indexed_sql()
+        ),
         "argmax_match": """
             SELECT label,
                    CAST(sum(CAST(embedding[14] = list_max(embedding[2:64]) AS INT)) AS INT) AS n_match,
@@ -1165,6 +1201,12 @@ def _bm25_sql() -> str:
     from podcast_audio_feature_extraction_spark.operators.search import bm25_topk_sql
 
     return bm25_topk_sql("click error purchase", k=100)
+
+
+def _bm25_indexed_sql() -> str:
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_indexed_sql
+
+    return bm25_indexed_sql(list(BM25_INDEXED_QUERIES), k=100)
 
 
 def _wf_multi_sql() -> str:

@@ -200,6 +200,8 @@ def asof_join_compact(
     right_key_cols: list[str] | None = None,
     inclusive: bool = True,
     left_tie_cols: list[str] | None = None,
+    tolerance_s: float | None = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Two-phase as-of for WIDE right rows (strategy 3, generalized from
     plans/backfill.py): phase 1 runs the union-trick over only the keys +
@@ -211,6 +213,15 @@ def asof_join_compact(
 
     ``right_key_cols`` must uniquely identify right rows within a key
     group; they also serve as the tie order at duplicate timestamps.
+    Violating that invariant silently FANS OUT left rows in the phase-2
+    hash join — pass ``validate_unique=True`` to pay one aggregate over
+    the right side and fail loudly instead (recommended whenever the right
+    table isn't produced by a dedup/groupBy you control).
+
+    ``tolerance_s`` carries through phase 1 (the narrow union already
+    nulls out stale matches, so their key columns join to nothing and the
+    wide values come back NULL — identical semantics to the union
+    strategy at no extra cost).
     """
     keys = _as_list(on)
     if not right_key_cols:
@@ -218,6 +229,20 @@ def asof_join_compact(
     value_cols = value_cols or [
         c for c in right.columns if c not in keys + [ts_col] + list(right_key_cols)
     ]
+    if validate_unique:
+        dup = (
+            right.groupBy(*keys, *right_key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"asof_join_compact: right rows are not unique per ({keys} + {list(right_key_cols)}) — "
+                "the phase-2 resolving join would duplicate left rows; dedup the right side "
+                "or choose key columns that identify one row"
+            )
     narrow = right.select(*keys, ts_col, *right_key_cols)
     matched = asof_join_union(
         left,
@@ -228,6 +253,7 @@ def asof_join_compact(
         right_tie_cols=list(right_key_cols),
         inclusive=inclusive,
         left_tie_cols=left_tie_cols,
+        tolerance_s=tolerance_s,
     )
     wide = right.select(
         *[F.col(k).alias(f"__r_{k}") for k in keys],
@@ -261,11 +287,10 @@ def asof_join(
             left, right, on, ts_col, value_cols, right_tie_cols, inclusive, left_tie_cols, tolerance_s
         )
     if strategy == "compact":
-        if tolerance_s is not None:
-            raise ValueError("tolerance is not supported by the compact strategy yet — use 'union'")
         return asof_join_compact(
             left, right, on, ts_col, value_cols,
             right_key_cols=right_tie_cols, inclusive=inclusive, left_tie_cols=left_tie_cols,
+            tolerance_s=tolerance_s,
         )
     if strategy == "cogroup":
         if right_tie_cols or left_tie_cols:

@@ -285,6 +285,7 @@ def dedup_clusters(
     labels = docs.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
     e = e.localCheckpoint()  # edges reused every round: cut the re-read
     labels = labels.localCheckpoint()
+    prev_checkpoint = None
     converged = False
     for _ in range(max_iters):
         neigh = (
@@ -304,6 +305,12 @@ def dedup_clusters(
             .localCheckpoint()
         )
         changed = new_labels.filter(F.col("label") != F.col("__old")).limit(1).count()
+        # the new round is checkpointed and counted — the previous round's
+        # checkpoint blocks are dead weight in the block manager now; free
+        # them so a deep chain holds at most 2 copies, not max_iters
+        if prev_checkpoint is not None:
+            prev_checkpoint.unpersist()
+        prev_checkpoint = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True

@@ -68,7 +68,11 @@ def window_functionals(
     us = ts_micros(F.col(ts_col))
     # same construction as the DuckDB twin: floor to the hop grid in
     # seconds, shift back 0..n_shifts-1 hops
-    base_s = F.floor(us / F.lit(1e6) / F.lit(hop_s)).cast("long") * F.lit(hop_s)
+    # EXACT integer micros: floor-div by the hop in micros (double
+    # division was provably safe at micro granularity but relied on an
+    # FP-error analysis; integer arithmetic needs none)
+    base_s = (us - F.pmod(us, F.lit(hop_s * 1_000_000))) / F.lit(1_000_000)
+    base_s = base_s.cast("long")
     expanded = (
         df.select(
             F.col(conv_col),
@@ -156,7 +160,11 @@ def window_functionals_multi(
     n_shifts = length_s // hop_s
 
     us = ts_micros(F.col(ts_col))
-    base_s = F.floor(us / F.lit(1e6) / F.lit(hop_s)).cast("long") * F.lit(hop_s)
+    # EXACT integer micros: floor-div by the hop in micros (double
+    # division was provably safe at micro granularity but relied on an
+    # FP-error analysis; integer arithmetic needs none)
+    base_s = (us - F.pmod(us, F.lit(hop_s * 1_000_000))) / F.lit(1_000_000)
+    base_s = base_s.cast("long")
     expanded = (
         df.select(
             F.col(conv_col),
@@ -219,7 +227,7 @@ def window_functionals_multi_sql(
                count(*) AS n,
                {cols}
         FROM (
-            SELECT t0.*, CAST(floor(epoch_us(ts) / 1e6 / {hop_s}) AS BIGINT) * {hop_s} - off.o AS ws_s
+            SELECT t0.*, (epoch_us(ts) // ({hop_s} * 1000000)) * {hop_s} - off.o AS ws_s
             FROM {src} t0 CROSS JOIN (VALUES {shifts}) AS off(o)
         )
         WHERE epoch_us(ts) >= ws_s * 1000000
@@ -313,7 +321,7 @@ def window_functionals_sql(
                    make_timestamp(ws_s * 1000000) AS win_start,
                    (epoch_us(ts) - ws_s * 1000000) / 1e6 AS x
             FROM (
-                SELECT t0.*, CAST(floor(epoch_us(ts) / 1e6 / {hop_s}) AS BIGINT) * {hop_s} - off.o AS ws_s
+                SELECT t0.*, (epoch_us(ts) // ({hop_s} * 1000000)) * {hop_s} - off.o AS ws_s
                 FROM {src} t0 CROSS JOIN (VALUES {shifts}) AS off(o)
             ) t
         )

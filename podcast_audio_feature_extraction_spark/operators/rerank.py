@@ -84,7 +84,7 @@ def mood_scores_sql(length_s: int = 120, hop_s: int = 60, src: str = "transcript
                round(COALESCE(stddev_pop(val), 0.0) / 3.0 + 12.0 * max(val) / 80.0, {round_digits}) AS opensmile_debate,
                round(2.0 * avg(val) / 13.7, {round_digits}) AS opensmile_disapproval
         FROM (
-            SELECT t.*, make_timestamp((CAST(floor(epoch_us(ts) / 1e6 / {hop_s}) AS BIGINT) * {hop_s} - off.o) * 1000000) AS win_start
+            SELECT t.*, make_timestamp(((epoch_us(ts) // ({hop_s} * 1000000)) * {hop_s} - off.o) * 1000000) AS win_start
             FROM {src} t CROSS JOIN (VALUES {shifts}) AS off(o)
         )
         WHERE epoch_us(ts) >= epoch_us(win_start)

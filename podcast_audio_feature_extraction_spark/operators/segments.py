@@ -77,7 +77,7 @@ def build_segments_sql(length_s: int = 120, hop_s: int = 60, src: str = "transcr
                count(*) AS n_turns,
                count(DISTINCT role) AS seg_speakers
         FROM (
-            SELECT t.*, make_timestamp((CAST(floor(epoch_us(ts) / 1e6 / {hop_s}) AS BIGINT) * {hop_s} - off.o) * 1000000) AS win_start
+            SELECT t.*, make_timestamp(((epoch_us(ts) // ({hop_s} * 1000000)) * {hop_s} - off.o) * 1000000) AS win_start
             FROM {src} t CROSS JOIN (VALUES {shifts}) AS off(o)
         )
         WHERE epoch_us(ts) >= epoch_us(win_start)

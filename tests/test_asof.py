@@ -68,16 +68,18 @@ def test_asof_no_temporal_leakage(spark, asof_data):
     assert (both_nan | (b == f)).all()
 
 
-@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+@pytest.mark.parametrize("strategy", ["union", "cogroup", "compact"])
 def test_asof_tolerance_matches_merge_asof(spark, asof_data, strategy):
     """Stale matches (older than tolerance) are nulled, like
-    pd.merge_asof(tolerance=...)."""
+    pd.merge_asof(tolerance=...). The compact (wide-vector) strategy now
+    supports tolerance too — phase 1 nulls the stale key, phase 2 joins
+    to nothing (round-2 verdict item 5)."""
     lpdf, rpdf, lsdf, rsdf = asof_data
     tol = 1000.0
     got = (
         asof_join(
             lsdf, rsdf, value_cols=["feat"], strategy=strategy, tolerance_s=tol,
-            right_tie_cols=["ridx"] if strategy == "union" else None,
+            right_tie_cols=None if strategy == "cogroup" else ["ridx"],
         )
         .toPandas()
         .sort_values(["conv_id", "ts"], kind="mergesort")
@@ -211,3 +213,41 @@ def test_asof_compact_matches_union(spark, asof_data, inclusive):
     cf = c["feat"].astype(float).to_numpy()
     both_nan = np.isnan(uf) & np.isnan(cf)
     assert (both_nan | (uf == cf)).all()
+
+
+def test_asof_compact_validate_unique_rejects_duplicate_right_keys(spark):
+    """validate_unique=True fails loudly when (keys + right_key_cols) do not
+    uniquely identify right rows — the silent alternative is left-row
+    fan-out in the phase-2 resolving hash join."""
+    from podcast_audio_feature_extraction_spark.operators.asof import asof_join_compact
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a"], "ts": [pd.Timestamp(100, unit="s")]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["a", "a"],
+                "ts": [pd.Timestamp(50, unit="s")] * 2,
+                "ridx": [1, 1],  # duplicate right key
+                "feat": [1.0, 2.0],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        asof_join_compact(l, r, value_cols=["feat"], right_key_cols=["ridx"], validate_unique=True)
+    # unique keys pass the same check
+    r_ok = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["a", "a"],
+                "ts": [pd.Timestamp(50, unit="s")] * 2,
+                "ridx": [1, 2],
+                "feat": [1.0, 2.0],
+            }
+        )
+    )
+    out = asof_join_compact(
+        l, r_ok, value_cols=["feat"], right_key_cols=["ridx"], validate_unique=True
+    ).toPandas()
+    assert len(out) == 1 and out["feat"].iloc[0] == 2.0

@@ -118,3 +118,27 @@ def test_bm25_matches_numpy_reference(spark):
             assert abs(got[sid] - round(s, 6)) < 1e-6, sid
         else:
             assert sid not in got.index
+
+
+def test_bm25_index_stats_match_inline(spark, transcripts_sdf):
+    """The stored-index path (bm25_index + bm25_stats_from_index) must score
+    identically to the inline per-query aggregate — including query terms
+    absent from the corpus (df=0 both ways)."""
+    from podcast_audio_feature_extraction_spark.operators.search import (
+        bm25_index,
+        bm25_stats_from_index,
+        bm25_topk,
+    )
+
+    segs = build_segments(transcripts_sdf)
+    dim = conv_dimension(transcripts_sdf)
+    term_df, meta = bm25_index(segs, dim)
+    for q in ("click error purchase", "signup view", "click zzznotaword"):
+        terms = [x for x in q.lower().split() if x]
+        stats = bm25_stats_from_index(term_df, meta, terms, ["seg_words", "dim_text"])
+        indexed = bm25_topk(segs, q, dim, k=50, stats=stats).toPandas()
+        inline = bm25_topk(segs, q, dim, k=50).toPandas()
+        pd.testing.assert_frame_equal(
+            indexed.sort_values("seg_id").reset_index(drop=True),
+            inline.sort_values("seg_id").reset_index(drop=True),
+        )
