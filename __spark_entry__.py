@@ -157,14 +157,25 @@ def q_window_functionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_functionals(t, "120 seconds", "60 seconds")
 
 
-def q_window_functionals_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 matrix form: functionals over SEVERAL descriptors (val + token
-    count) in one groupBy pass — the 88-column eGeMAPS table shape."""
-    _utc(spark)
-    from podcast_audio_feature_extraction_spark.operators.functionals import window_functionals_multi
+GRID_DESCRIPTORS = ["val", "tok", "chr", "tl"]
+GRID_STATS = ("mean", "std", "min", "max", "median", "p20", "p80", "cv")
 
-    t = load_transcript(spark, sf_dir).withColumn("tok", token_count(F.col("text")).cast("double"))
-    return window_functionals_multi(t, ["val", "tok"])
+
+def q_window_functionals_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 FULL matrix form: a 4-descriptor x 8-functional grid (32 feature
+    columns) in ONE groupBy pass — the 88-column eGeMAPS table shape
+    (custom_FrameModeFunctionals.conf.inc). Descriptors: val (the LLD),
+    token count, char length, tool-use flag."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid
+
+    t = (
+        load_transcript(spark, sf_dir)
+        .withColumn("tok", token_count(F.col("text")).cast("double"))
+        .withColumn("chr", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double"))
+        .withColumn("tl", F.col("tool").isNotNull().cast("double"))
+    )
+    return functional_grid(t, GRID_DESCRIPTORS, stats=GRID_STATS)
 
 
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,12 +1221,18 @@ def _bm25_indexed_sql() -> str:
 
 
 def _wf_multi_sql() -> str:
-    from podcast_audio_feature_extraction_spark.operators.functionals import window_functionals_multi_sql
+    from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid_sql
 
     toks = "list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')"
     return (
-        f", __m AS (SELECT transcript.*, CAST(len({toks}) AS DOUBLE) AS tok FROM transcript) "
-        + window_functionals_multi_sql(["val", "tok"], 120, 60, src="__m")
+        f""", __m AS (
+            SELECT transcript.*,
+                   CAST(len({toks}) AS DOUBLE) AS tok,
+                   CAST(length(COALESCE(text, '')) AS DOUBLE) AS chr,
+                   CAST(tool IS NOT NULL AS INT)::DOUBLE AS tl
+            FROM transcript
+        ) """
+        + functional_grid_sql(GRID_DESCRIPTORS, stats=GRID_STATS, length_s=120, hop_s=60, src="__m")
     )
 
 

@@ -139,32 +139,47 @@ def window_functionals(
     )
 
 
-def window_functionals_multi(
+GRID_STATS = ("mean", "std", "min", "max", "median", "p20", "p80", "cv", "slope", "range")
+_GRID_PCTS = {"p20": 0.2, "median": 0.5, "p80": 0.8}
+
+
+def functional_grid(
     df: DataFrame,
     val_cols: list[str],
+    stats: tuple[str, ...] = ("mean", "std", "min", "max", "median", "p20", "p80", "cv"),
     length: str = "120 seconds",
     hop: str = "60 seconds",
     conv_col: str = "conv_id",
     ts_col: str = "ts",
     round_digits: int = 6,
 ) -> DataFrame:
-    """The functional MATRIX form: the reference computes 88 functionals =
-    (several aggregations) x (25 eGeMAPS low-level descriptors) per window
-    (CLEF §4.1). This emits mean/pop-std/min/max/median per value column,
-    all in the SAME single groupBy pass — columns scale the aggregate
-    list, never the shuffle count. Output columns are ``{col}_{stat}``.
+    """The FULL configurable functional grid — the 88-column eGeMAPS table
+    shape (reference data/custom_FrameModeFunctionals.conf.inc: frameSize
+    0.96s/step 0.48s windows x a functional set per low-level descriptor;
+    CLEF §4.1): any subset of ``GRID_STATS`` over any list of descriptor
+    columns, ALL in one groupBy pass.
+
+    Scale shape: descriptors and functionals scale the AGGREGATE
+    EXPRESSION list, never the shuffle count — the plan stays one
+    Exchange (hash on conv_id, map-side partial agg) regardless of grid
+    size. All requested percentiles of one descriptor are fused into a
+    single array-percentile aggregate (each separate percentile would
+    buffer the window's values independently, ~3x cost). Output columns
+    are ``{col}_{stat}`` in (col-major) spec order.
     """
+    unknown = set(stats) - set(GRID_STATS)
+    if unknown:
+        raise ValueError(f"unknown grid stats: {sorted(unknown)}; supported: {GRID_STATS}")
     length_s, hop_s = _dur_s(length), _dur_s(hop)
     if length_s % hop_s:
         raise ValueError("window length must be a multiple of hop")
     n_shifts = length_s // hop_s
 
+    def _r(c):
+        return F.round(c, round_digits)
+
     us = ts_micros(F.col(ts_col))
-    # EXACT integer micros: floor-div by the hop in micros (double
-    # division was provably safe at micro granularity but relied on an
-    # FP-error analysis; integer arithmetic needs none)
-    base_s = (us - F.pmod(us, F.lit(hop_s * 1_000_000))) / F.lit(1_000_000)
-    base_s = base_s.cast("long")
+    base_s = ((us - F.pmod(us, F.lit(hop_s * 1_000_000))) / F.lit(1_000_000)).cast("long")
     expanded = (
         df.select(
             F.col(conv_col),
@@ -178,56 +193,102 @@ def window_functionals_multi(
             (F.col("__us") >= F.col("__ws_s") * F.lit(1_000_000))
             & (F.col("__us") < (F.col("__ws_s") + F.lit(length_s)) * F.lit(1_000_000))
         )
+        # slope x axis: seconds within the window, integer micros subtracted
+        # FIRST (epoch-scale double subtraction loses ~1e-7 s)
+        .withColumn("__x", (F.col("__us") - F.col("__ws_s") * F.lit(1_000_000)) / F.lit(1e6))
     )
+
+    pcts_wanted = [s for s in stats if s in _GRID_PCTS]
     aggs = [F.count(F.lit(1)).alias("n")]
-    pct_cols = {}
+    post: dict[str, object] = {}
+    x = F.col("__x")
     for c in val_cols:
         v = F.col(c)
-        aggs += [
-            F.round(F.avg(v), round_digits).alias(f"{c}_mean"),
-            F.round(F.coalesce(F.stddev_pop(v), F.lit(0.0)), round_digits).alias(f"{c}_std"),
-            F.min(v).alias(f"{c}_min"),
-            F.max(v).alias(f"{c}_max"),
-            F.percentile(v, F.lit(0.5)).alias(f"__{c}_med"),
-        ]
-        pct_cols[f"{c}_median"] = f"__{c}_med"
+        mean = F.avg(v)
+        std = F.coalesce(F.stddev_pop(v), F.lit(0.0))
+        if "mean" in stats:
+            aggs.append(_r(mean).alias(f"{c}_mean"))
+        if "std" in stats:
+            aggs.append(_r(std).alias(f"{c}_std"))
+        if "min" in stats:
+            aggs.append(F.min(v).alias(f"{c}_min"))
+        if "max" in stats:
+            aggs.append(F.max(v).alias(f"{c}_max"))
+        if pcts_wanted:
+            aggs.append(
+                F.percentile(v, F.array(*[F.lit(_GRID_PCTS[s]) for s in pcts_wanted])).alias(f"__{c}_pcts")
+            )
+            for i, s in enumerate(pcts_wanted):
+                post[f"{c}_{s}"] = _r(F.col(f"__{c}_pcts")[i])
+        if "cv" in stats:
+            aggs.append((_r(F.when(mean != 0, std / mean).otherwise(F.lit(0.0))) + F.lit(0.0)).alias(f"{c}_cv"))
+        if "slope" in stats:
+            aggs.append(
+                (
+                    _r(F.when(F.var_pop(x) > 0, F.covar_pop(x, v) / F.var_pop(x)).otherwise(F.lit(0.0)))
+                    + F.lit(0.0)
+                ).alias(f"{c}_slope")
+            )
+        if "range" in stats:
+            aggs.append(_r(F.max(v) - F.min(v)).alias(f"{c}_range"))
     out = expanded.groupBy(conv_col, "__ws_s").agg(*aggs)
-    out = out.withColumns({name: F.round(F.col(src), round_digits) for name, src in pct_cols.items()})
+    if post:
+        out = out.withColumns(post)
     return out.select(
         conv_col,
         F.timestamp_seconds(F.col("__ws_s")).cast("timestamp_ntz").alias("win_start"),
         "n",
-        *[f"{c}_{s}" for c in val_cols for s in ("mean", "std", "min", "max", "median")],
+        *[f"{c}_{s}" for c in val_cols for s in stats],
     )
 
 
-def window_functionals_multi_sql(
+def functional_grid_sql(
     val_cols: list[str],
+    stats: tuple[str, ...] = ("mean", "std", "min", "max", "median", "p20", "p80", "cv"),
     length_s: int = 120,
     hop_s: int = 60,
     src: str = "transcript",
     round_digits: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`window_functionals_multi`."""
+    """DuckDB twin of :func:`functional_grid`, generated from the SAME
+    (val_cols x stats) spec so the two dialects cannot drift."""
     n_shifts = length_s // hop_s
     shifts = ", ".join(f"({i * hop_s})" for i in range(n_shifts))
-    stat_cols = []
+    cols = []
     for c in val_cols:
-        stat_cols += [
-            f"round(avg({c}), {round_digits}) AS {c}_mean",
-            f"round(COALESCE(stddev_pop({c}), 0.0), {round_digits}) AS {c}_std",
-            f"min({c}) AS {c}_min",
-            f"max({c}) AS {c}_max",
-            f"round(quantile_cont({c}, 0.5), {round_digits}) AS {c}_median",
-        ]
-    cols = ",\n               ".join(stat_cols)
+        for s in stats:
+            r = f"round({{}}, {round_digits})"
+            if s == "mean":
+                cols.append(r.format(f"avg({c})") + f" AS {c}_mean")
+            elif s == "std":
+                cols.append(r.format(f"COALESCE(stddev_pop({c}), 0.0)") + f" AS {c}_std")
+            elif s == "min":
+                cols.append(f"min({c}) AS {c}_min")
+            elif s == "max":
+                cols.append(f"max({c}) AS {c}_max")
+            elif s in _GRID_PCTS:
+                cols.append(r.format(f"quantile_cont({c}, {_GRID_PCTS[s]})") + f" AS {c}_{s}")
+            elif s == "cv":
+                cols.append(
+                    f"round(CASE WHEN avg({c}) <> 0 THEN COALESCE(stddev_pop({c}), 0.0) / avg({c}) "
+                    f"ELSE 0.0 END, {round_digits}) + 0.0 AS {c}_cv"
+                )
+            elif s == "slope":
+                cols.append(
+                    f"round(CASE WHEN var_pop(x) > 0 THEN covar_pop(x, {c}) / var_pop(x) "
+                    f"ELSE 0.0 END, {round_digits}) + 0.0 AS {c}_slope"
+                )
+            elif s == "range":
+                cols.append(r.format(f"max({c}) - min({c})") + f" AS {c}_range")
+    body = ",\n               ".join(cols)
     return f"""
         SELECT conv_id,
                make_timestamp(ws_s * 1000000) AS win_start,
                count(*) AS n,
-               {cols}
+               {body}
         FROM (
-            SELECT t0.*, (epoch_us(ts) // ({hop_s} * 1000000)) * {hop_s} - off.o AS ws_s
+            SELECT t0.*, (epoch_us(ts) // ({hop_s} * 1000000)) * {hop_s} - off.o AS ws_s,
+                   (epoch_us(ts) - ((epoch_us(ts) // ({hop_s} * 1000000)) * {hop_s} - off.o) * 1000000) / 1e6 AS x
             FROM {src} t0 CROSS JOIN (VALUES {shifts}) AS off(o)
         )
         WHERE epoch_us(ts) >= ws_s * 1000000

@@ -98,3 +98,61 @@ def test_robust_scale_known_values(spark):
     assert got[("a", 0)] == -1.0 and got[("a", 2)] == 0.0 and got[("a", 4)] == 1.0
     # constant group: IQR 0 -> all 0.0 (not NaN/inf)
     assert (got.loc["b"] == 0.0).all()
+
+
+def test_functional_grid_single_pass_and_matches_numpy(spark, transcripts_pdf):
+    """The full descriptor x functional grid computes in ONE aggregation
+    pass (exactly one Exchange in the plan — columns scale the agg list,
+    never the shuffle count) and matches a numpy oracle per cell."""
+    from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid
+
+    stats = ("mean", "std", "min", "max", "median", "p20", "p80", "cv", "slope", "range")
+    vpdf = _with_val(transcripts_pdf)
+    t = spark.createDataFrame(vpdf).withColumn(
+        "tok",
+        F.size(F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda x: x != "")).cast(
+            "double"
+        ),
+    )
+    grid = functional_grid(t, ["val", "tok"], stats=stats)
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    got = grid.toPandas()
+    assert list(got.columns) == ["conv_id", "win_start", "n"] + [
+        f"{c}_{s}" for c in ("val", "tok") for s in stats
+    ]
+
+    # numpy oracle for one conversation's windows
+    pdf = vpdf.copy()
+    pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    conv = pdf["conv_id"].iloc[0]
+    sub = pdf[pdf["conv_id"] == conv]
+    g = got[got["conv_id"] == conv].set_index("win_start").sort_index()
+    assert len(g) > 0
+    for ws, row in g.iterrows():
+        lo = int(pd.Timestamp(ws).value // 1000)
+        m = sub[(sub["us"] >= lo) & (sub["us"] < lo + 120_000_000)]
+        v = m["val"].to_numpy(dtype=float)
+        x = (m["us"].to_numpy() - lo) / 1e6
+        assert row["n"] == len(v)
+        assert abs(row["val_mean"] - round(v.mean(), 6)) < 1e-9
+        assert abs(row["val_std"] - round(v.std(), 6)) < 1e-9
+        assert row["val_min"] == v.min() and row["val_max"] == v.max()
+        assert abs(row["val_range"] - round(v.max() - v.min(), 6)) < 1e-9
+        assert abs(row["val_median"] - round(np.percentile(v, 50), 6)) < 1e-9
+        assert abs(row["val_p20"] - round(np.percentile(v, 20), 6)) < 1e-9
+        cv = v.std() / v.mean() if v.mean() != 0 else 0.0
+        assert abs(row["val_cv"] - round(cv, 6)) < 1e-9
+        vx = np.var(x)
+        slope = (np.mean(x * v) - np.mean(x) * np.mean(v)) / vx if vx > 0 else 0.0
+        assert abs(row["val_slope"] - round(slope, 6)) < 1e-6
+
+
+def test_functional_grid_rejects_unknown_stat(spark, transcripts_pdf):
+    import pytest
+
+    from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid
+
+    sdf = spark.createDataFrame(_with_val(transcripts_pdf))
+    with pytest.raises(ValueError, match="unknown grid stats"):
+        functional_grid(sdf, ["val"], stats=("mean", "kurtosis_nope"))
