@@ -28,6 +28,7 @@ def build_segments(
     conv_col: str = "conv_id",
     ts_col: str = "ts",
     exact_speakers: bool = True,
+    skew_salts: int | None = None,
 ) -> DataFrame:
     """``exact_speakers=False`` switches seg_speakers to
     approx_count_distinct: the exact form plans a 2-phase expand (one extra
@@ -37,17 +38,48 @@ def build_segments(
     boolean-ish mood feature). Kept exact by default for reference parity
     and the DuckDB oracle."""
     win = F.window(F.col(ts_col), length, hop)
-    ordered = F.sort_array(F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col("turn_idx"), F.col("text"))))
-    speakers = (
-        F.count_distinct("role") if exact_speakers else F.approx_count_distinct("role")
-    )
-    return (
-        df.groupBy(F.col(conv_col), win.alias("win"))
-        .agg(
+    if skew_salts:
+        # Viral-conversation guard: collect_list is holistic, so a hot
+        # (conv, window) group's whole text buffer lands on one reducer.
+        # Stage 1 collects per (conv, win, salt) — the hot group spreads
+        # over skew_salts reducers; stage 2 flattens the salt partials and
+        # sorts ONCE (total order => result identical to the unsalted
+        # plan). n_turns re-sums partial counts; speakers merges partial
+        # role sets. Costs one extra (small: partials only) shuffle — use
+        # when detect_heavy_keys says the corpus has viral conversations.
+        from podcast_audio_feature_extraction_spark.operators.skew import with_salt
+
+        partial = (
+            with_salt(df, n_salts=skew_salts, tie_col="turn_idx")
+            .groupBy(F.col(conv_col), win.alias("win"), F.col("salt"))
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col("turn_idx"), F.col("text"))
+                ).alias("__items"),
+                F.count(F.lit(1)).alias("__n"),
+                F.collect_set("role").alias("__roles"),
+            )
+        )
+        ordered = F.sort_array(F.flatten(F.collect_list("__items")))
+        grouped = partial.groupBy(conv_col, "win").agg(
+            F.array_join(F.transform(ordered, lambda s: s["text"]), " ").alias("seg_words"),
+            F.sum("__n").alias("n_turns"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("__roles")))).cast("long").alias(
+                "seg_speakers"
+            ),
+        )
+    else:
+        ordered = F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col("turn_idx"), F.col("text")))
+        )
+        speakers = F.count_distinct("role") if exact_speakers else F.approx_count_distinct("role")
+        grouped = df.groupBy(F.col(conv_col), win.alias("win")).agg(
             F.array_join(F.transform(ordered, lambda s: s["text"]), " ").alias("seg_words"),
             F.count(F.lit(1)).alias("n_turns"),
             speakers.alias("seg_speakers"),
         )
+    return (
+        grouped
         .select(
             F.concat_ws(
                 "_", F.col(conv_col), (ts_micros(F.col("win.start")) / F.lit(1_000_000)).cast("long").cast("string")

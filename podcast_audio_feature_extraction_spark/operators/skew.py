@@ -67,6 +67,65 @@ def salted_agg(
     return partial.groupBy(key_col).agg(*stage2_exprs)
 
 
+def skew_guarded_agg(
+    df: DataFrame,
+    key_col: str,
+    aggs: dict[str, tuple[str, str]],
+    heavy_min_rows: int = 100_000,
+    n_salts: int = 8,
+    tie_col: str = "turn_idx",
+) -> DataFrame:
+    """Hybrid skew-safe aggregation: detect heavy keys with one cheap count
+    pass, route ONLY them through :func:`salted_agg` (their rows spread
+    over ``n_salts`` reducers), aggregate the light majority single-stage,
+    union. Everything is in-plan — the heavy-key list travels as a
+    broadcast semi/anti join, no driver collect.
+
+    Result is exactly equal to the plain ``groupBy(key).agg`` for every
+    supported (algebraic) aggregate. Use when a handful of viral keys
+    dominate an otherwise balanced aggregation AND the aggregate state is
+    too big for map-side combine to neutralize (ordered/holistic shapes —
+    see :func:`salted_collect_sorted`; for plain sum/count/min/max Spark's
+    partial aggregation usually already absorbs the skew).
+    """
+    heavy = F.broadcast(detect_heavy_keys(df, key_col, heavy_min_rows).select(key_col))
+    light_part = df.join(heavy, key_col, "left_anti")
+    heavy_part = df.join(heavy, key_col, "left_semi")
+    plain_exprs = []
+    for name, (fn, col) in aggs.items():
+        plain_exprs.append(getattr(F, fn)(col).alias(name))
+    light_agg = light_part.groupBy(key_col).agg(*plain_exprs)
+    heavy_agg = salted_agg(heavy_part, key_col, aggs, n_salts=n_salts, tie_col=tie_col)
+    return light_agg.unionByName(heavy_agg)
+
+
+def salted_collect_sorted(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    struct_cols: list[str],
+    out_col: str = "items",
+    n_salts: int = 8,
+    tie_col: str = "turn_idx",
+) -> DataFrame:
+    """Skew-safe ORDERED aggregation — the A10 shape
+    (``sort_array(collect_list(struct(...)))``) where salting actually
+    matters: collect_list is holistic, so a viral conversation's entire
+    buffer lands on ONE reducer (straggler + OOM risk) and map-side
+    combine cannot help. Two stages: collect per (key, salt) so the hot
+    key's rows spread over ``n_salts`` reducers, then flatten the salt
+    partials and sort ONCE. The final total sort_array makes the result
+    bit-identical to the unsalted plan regardless of salt routing.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    salted = with_salt(df, n_salts=n_salts, tie_col=tie_col)
+    partial = salted.groupBy(*keys, "salt").agg(
+        F.collect_list(F.struct(*[F.col(c) for c in struct_cols])).alias("__p")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sort_array(F.flatten(F.collect_list("__p"))).alias(out_col)
+    )
+
+
 def repartition_range_sorted(
     df: DataFrame, key_col: str = "conv_id", ts_col: str = "ts", num_partitions: int | None = None
 ) -> DataFrame:

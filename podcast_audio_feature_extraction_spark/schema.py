@@ -19,6 +19,15 @@ TRANSCRIPT_SCHEMA = T.StructType(
     ]
 )
 
+# Transcript + the numeric low-level descriptor column the functional
+# operators aggregate (the eGeMAPS-LLD analog). Files written without
+# `val` still read under this schema (parquet fills missing columns with
+# NULL), so the streaming source declares the superset. NOTE: built as a
+# fresh StructType — StructType.add mutates the receiver in place.
+TRANSCRIPT_VAL_SCHEMA = T.StructType(
+    list(TRANSCRIPT_SCHEMA.fields) + [T.StructField("val", T.DoubleType(), True)]
+)
+
 # Feature/backfill table (analog of the reference's time-indexed feature
 # tables, /root/reference/src/features/OpenSmileExtractor.py:47-54).
 FEATURE_SCHEMA = T.StructType(

@@ -19,13 +19,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from podcast_audio_feature_extraction_spark.schema import TRANSCRIPT_SCHEMA
+from podcast_audio_feature_extraction_spark.schema import TRANSCRIPT_VAL_SCHEMA
 
 
 def read_transcript_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
-    """File-based streaming source over the canonical transcript layout."""
+    """File-based streaming source over the canonical transcript layout
+    (schema is the val-superset: files written without the LLD column
+    read it as NULL)."""
     return (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        spark.readStream.schema(TRANSCRIPT_VAL_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )

@@ -187,3 +187,72 @@ def test_compact_buckets_repairs_interrupted_swap(spark, transcripts_sdf, tmp_pa
     stats = compact_buckets(spark, out, files_per_bucket=1)
     assert stats["repaired"] == ["bucket=0"]
     assert spark.read.parquet(out).count() == rows  # nothing lost
+
+
+def _zipf_frame(spark):
+    """1 viral conversation (600 turns) + 30 light ones (10 turns each)."""
+    import pandas as pd
+
+    rows = []
+    for conv, n in [("viral", 600)] + [(f"c{i}", 10) for i in range(30)]:
+        for t in range(n):
+            rows.append((conv, t, "user" if t % 3 else "assistant",
+                         f"w{t % 17} x{t % 5}", pd.Timestamp(1_700_000_000 + t * 7, unit="s")))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    )
+
+
+def test_skew_guarded_agg_matches_plain(spark):
+    from podcast_audio_feature_extraction_spark.operators.skew import skew_guarded_agg
+
+    df = _zipf_frame(spark).withColumn("v", F.col("turn_idx").cast("double"))
+    aggs = {"n": ("count", "v"), "s": ("sum", "v"), "lo": ("min", "v"), "hi": ("max", "v")}
+    guarded = (
+        skew_guarded_agg(df, "conv_id", aggs, heavy_min_rows=100, n_salts=4)
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    plain = (
+        df.groupBy("conv_id")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(guarded[plain.columns], plain, check_dtype=False)
+
+
+def test_salted_collect_sorted_matches_unsalted(spark):
+    from podcast_audio_feature_extraction_spark.operators.skew import salted_collect_sorted
+
+    df = _zipf_frame(spark)
+    got = (
+        salted_collect_sorted(df, "conv_id", ["turn_idx", "text"], out_col="items", n_salts=4)
+        .select("conv_id", F.col("items").cast("string").alias("items"))
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    want = (
+        df.groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "text"))).alias("items"))
+        .select("conv_id", F.col("items").cast("string").alias("items"))
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_build_segments_salted_matches_unsalted(spark):
+    """The viral-conversation guard in build_segments (skew_salts) is a pure
+    physical rewrite: identical rows, spread collect buffers."""
+    from podcast_audio_feature_extraction_spark.operators.segments import build_segments
+
+    df = _zipf_frame(spark)
+    cols = ["seg_id", "seg_words", "seg_length", "n_turns", "seg_speakers"]
+    plain = build_segments(df).select(cols).toPandas().sort_values("seg_id").reset_index(drop=True)
+    salted = (
+        build_segments(df, skew_salts=4).select(cols).toPandas().sort_values("seg_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(salted, plain, check_dtype=False)
