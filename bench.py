@@ -238,6 +238,12 @@ def run_scaling() -> dict:
     """
     pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16").split(",")
     configs = list(dict.fromkeys([c.strip() for c in pair]))
+    # the sandbox's throttle phases can span an entire JVM session
+    # (~30-40s), so best-of-trials INSIDE one session is not enough:
+    # run each leg in N separate sessions and keep the best throughput
+    # (measured: single-session efficiencies ranged 0.49-0.78 purely from
+    # which leg a phase landed on)
+    n_sessions = int(os.environ.get("SPARK_GRAFT_SCALE_SESSIONS", "2"))
     out = {}
     for cpus in configs:
         env = dict(
@@ -250,8 +256,13 @@ def run_scaling() -> dict:
         cmd = [sys.executable, __file__, "--flagship-only"]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
-        res = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
-        out[cpus] = json.loads(res.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(n_sessions):
+            res = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+            parsed = json.loads(res.stdout.strip().splitlines()[-1])
+            if best is None or parsed["turns_per_sec_backfill"] > best["turns_per_sec_backfill"]:
+                best = parsed
+        out[cpus] = best
 
     lo, hi = configs[0], configs[-1]
     ratio = int(hi) / int(lo)

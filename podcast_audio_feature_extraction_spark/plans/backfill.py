@@ -90,6 +90,52 @@ def backfill_features(
     )
 
 
+def build_feature_table_incremental(
+    transcripts: DataFrame,
+    new_turns: DataFrame,
+    stored_features: DataFrame,
+    gap_s: float = 1800.0,
+    k: int = 5,
+    embed_dim: int = 64,
+    val_col: str | None = "val",
+) -> DataFrame:
+    """Incremental (delta) feature build: when ``new_turns`` arrive,
+    recompute features ONLY for the conversations they touch and keep
+    every other conversation's stored rows verbatim.
+
+    The unit of incremental work is the CONVERSATION: session ids and
+    rolling/lag features depend on a conversation's whole history, so a
+    new turn can change its conversation's earlier feature rows
+    (session_len, lead context) but can never affect another
+    conversation. At 10^12-turn scale this is the difference between
+    re-aggregating the world and touching the ~10^-5 of it that moved:
+
+    - ``touched`` is the distinct conv_id set of the delta (small);
+    - the rebuild input is one broadcast LEFT-SEMI join (partition-pruned
+      further if the transcript table is partitioned/bucketed by conv_id);
+    - untouched rows come from the stored table via broadcast LEFT-ANTI —
+      a scan + filter, no shuffle of the big side.
+
+    Result is row-identical to a full :func:`build_feature_table` over
+    ``transcripts`` (test-pinned).
+
+    ``transcripts`` must already INCLUDE the new turns (it is the current
+    snapshot — e.g. the table after the delta's append commit).
+    """
+    from pyspark.sql import functions as F
+
+    touched = F.broadcast(new_turns.select("conv_id").distinct())
+    rebuilt = build_feature_table(
+        transcripts.join(touched, "conv_id", "left_semi"),
+        gap_s=gap_s,
+        k=k,
+        embed_dim=embed_dim,
+        val_col=val_col,
+    )
+    kept = stored_features.join(touched, "conv_id", "left_anti").select(*FEATURE_COLS)
+    return kept.unionByName(rebuilt)
+
+
 def flagship(transcripts: DataFrame, gap_s: float = 1800.0, k: int = 5, strategy: str = "union") -> DataFrame:
     """End-to-end single-plan form: build features then backfill them onto
     the turns frame itself (every turn gets the feature vector visible at

@@ -1,4 +1,5 @@
 import numpy as np
+import pyspark.sql.functions as F
 
 from podcast_audio_feature_extraction_spark.plans.backfill import backfill_features, build_feature_table
 
@@ -27,3 +28,56 @@ def test_compact_strategy_matches_union(spark, transcripts_sdf, tmp_path):
     eu = np.stack([np.asarray(v) for v in u["embedding"]])
     ec = np.stack([np.asarray(v) for v in c["embedding"]])
     np.testing.assert_array_equal(eu, ec)
+
+
+def test_incremental_feature_build_matches_full_rebuild(spark, transcripts_pdf):
+    """Delta build: new turns arrive for a few conversations; rebuilding
+    only the touched conversations and keeping stored rows for the rest
+    must be row-identical to a full rebuild of the new snapshot."""
+    import numpy as np
+    import pandas as pd
+
+    from podcast_audio_feature_extraction_spark.plans.backfill import (
+        build_feature_table,
+        build_feature_table_incremental,
+    )
+
+    rng = np.random.default_rng(11)
+    pdf = transcripts_pdf.copy()
+    pdf["val"] = np.round(rng.uniform(0, 100, size=len(pdf)), 2)
+    base_sdf = spark.createDataFrame(pdf)
+    stored = build_feature_table(base_sdf).localCheckpoint()
+
+    # the delta: 2 extra turns appended to the first two conversations
+    convs = pdf["conv_id"].unique()[:2]
+    delta_rows = []
+    for c in convs:
+        sub = pdf[pdf["conv_id"] == c]
+        nxt = int(sub["turn_idx"].max()) + 1
+        last_ts = sub["ts"].max()
+        delta_rows.append(
+            (c, nxt, "user", "new turn text", None, last_ts + pd.Timedelta(seconds=5), 42.0)
+        )
+    delta_pdf = pd.DataFrame(
+        delta_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "val"]
+    )
+    snapshot = spark.createDataFrame(pd.concat([pdf, delta_pdf], ignore_index=True))
+    delta_sdf = spark.createDataFrame(delta_pdf)
+
+    def canon(df):
+        return (
+            df.select(
+                "conv_id", "turn_idx", "ts", "session_id",
+                F.col("functionals").cast("string").alias("functionals"),
+                F.col("embedding").cast("string").alias("embedding"),
+            )
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    inc = canon(build_feature_table_incremental(snapshot, delta_sdf, stored))
+    full = canon(build_feature_table(snapshot))
+    import pandas as pd_mod
+
+    pd_mod.testing.assert_frame_equal(inc, full)
