@@ -89,6 +89,32 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # the functional grid's sketch mode: approx_percentile instead of the
+    # exact buffering percentiles (the grid's dominant cost — PLANS.md)
+    from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid
+    from podcast_audio_feature_extraction_spark.operators.rolling import token_count
+    from pyspark.sql import functions as F
+
+    grid_in = (
+        t.withColumn("tok", token_count(F.col("text")).cast("double"))
+        .withColumn("chr", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double"))
+        .withColumn("tl", F.col("tool").isNotNull().cast("double"))
+    )
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _materialize(
+            functional_grid(
+                grid_in,
+                ["val", "tok", "chr", "tl"],
+                stats=("mean", "std", "min", "max", "median", "p20", "p80", "cv"),
+                approx_pct_accuracy=1000,
+            )
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["window_functionals_multi_approx"] = round(best, 3)
+
     # bm25 in its production shape: the segment index + conversation dim are
     # STORED tables (as they would be on a cluster), so the query pays one
     # stats scan + one scoring scan instead of deriving segments twice.

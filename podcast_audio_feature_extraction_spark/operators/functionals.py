@@ -152,6 +152,7 @@ def functional_grid(
     conv_col: str = "conv_id",
     ts_col: str = "ts",
     round_digits: int = 6,
+    approx_pct_accuracy: int | None = None,
 ) -> DataFrame:
     """The FULL configurable functional grid — the 88-column eGeMAPS table
     shape (reference data/custom_FrameModeFunctionals.conf.inc: frameSize
@@ -166,6 +167,14 @@ def functional_grid(
     single array-percentile aggregate (each separate percentile would
     buffer the window's values independently, ~3x cost). Output columns
     are ``{col}_{stat}`` in (col-major) spec order.
+
+    ``approx_pct_accuracy``: switch the percentile family to
+    ``approx_percentile`` with that accuracy (e.g. 1000 => error
+    <= 1/1000 of rank). Exact percentiles buffer every window value per
+    descriptor and are the grid's dominant cost (measured 2.35 s of
+    2.96 s at sf0.1); the sketch is constant-state and the 100 TB choice
+    when last-ulp percentile parity isn't required. Exact (None) is the
+    default for oracle/reference parity.
     """
     unknown = set(stats) - set(GRID_STATS)
     if unknown:
@@ -215,9 +224,13 @@ def functional_grid(
         if "max" in stats:
             aggs.append(F.max(v).alias(f"{c}_max"))
         if pcts_wanted:
-            aggs.append(
-                F.percentile(v, F.array(*[F.lit(_GRID_PCTS[s]) for s in pcts_wanted])).alias(f"__{c}_pcts")
+            qarr = F.array(*[F.lit(_GRID_PCTS[s]) for s in pcts_wanted])
+            pct_agg = (
+                F.percentile(v, qarr)
+                if approx_pct_accuracy is None
+                else F.approx_percentile(v, qarr, F.lit(approx_pct_accuracy))
             )
+            aggs.append(pct_agg.alias(f"__{c}_pcts"))
             for i, s in enumerate(pcts_wanted):
                 post[f"{c}_{s}"] = _r(F.col(f"__{c}_pcts")[i])
         if "cv" in stats:

@@ -156,3 +156,29 @@ def test_functional_grid_rejects_unknown_stat(spark, transcripts_pdf):
     sdf = spark.createDataFrame(_with_val(transcripts_pdf))
     with pytest.raises(ValueError, match="unknown grid stats"):
         functional_grid(sdf, ["val"], stats=("mean", "kurtosis_nope"))
+
+
+def test_functional_grid_approx_percentiles_close_to_exact(spark, transcripts_pdf):
+    """The sketch mode (approx_pct_accuracy) tracks the exact percentiles —
+    the 100 TB path where exact buffering is the grid's dominant cost."""
+    from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid
+
+    sdf = spark.createDataFrame(_with_val(transcripts_pdf))
+    stats = ("min", "max", "median", "p20", "p80")
+    exact = (
+        functional_grid(sdf, ["val"], stats=stats)
+        .toPandas().set_index(["conv_id", "win_start"]).sort_index()
+    )
+    approx = (
+        functional_grid(sdf, ["val"], stats=stats, approx_pct_accuracy=10000)
+        .toPandas().set_index(["conv_id", "win_start"]).sort_index()
+    )
+    assert (exact.index == approx.index).all()
+    # approx_percentile picks ACTUAL data points; exact interpolates — with
+    # tiny windows a single window can differ by an adjacent-value gap, so
+    # assert (a) every sketch value is a legal in-window value and (b) the
+    # two track each other in aggregate
+    for col in ("val_median", "val_p20", "val_p80"):
+        assert (approx[col] >= exact["val_min"]).all(), col
+        assert (approx[col] <= exact["val_max"]).all(), col
+        assert (exact[col] - approx[col]).abs().median() < 10.0, col
