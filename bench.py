@@ -89,6 +89,19 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # BM25 with NO materialized segment text: per-row term counts summed by
+    # window (tf/dl are additive over members) — the shuffle carries a few
+    # longs per (row, window) instead of the window's text
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk_fused
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _materialize(bm25_topk_fused(t, "click error purchase", k=100))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["search_bm25_fused"] = round(best, 3)
+
     # the functional grid's sketch mode: approx_percentile instead of the
     # exact buffering percentiles (the grid's dominant cost — PLANS.md)
     from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from podcast_audio_feature_extraction_spark.functions.time import ts_micros as _ts_micros
+
 
 def term_freq(tokens: Column, term: str) -> Column:
     return F.size(F.filter(tokens, lambda x: x == F.lit(term))).cast("int")
@@ -234,6 +236,127 @@ def bm25_topk(
             total = total + c
         field_scores.append(F.lit(boost) * total)
     best = field_scores[0] if len(field_scores) == 1 else F.greatest(*field_scores)
+    return (
+        scored.withColumn("bm25", F.round(best, 6))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("seg_id"))
+        .limit(k)
+        .select("seg_id", "bm25")
+    )
+
+
+def bm25_topk_fused(
+    transcripts: DataFrame,
+    query: str,
+    k: int = 100,
+    k1: float = 1.2,
+    b: float = 0.75,
+    words_boost: float = 2.0,
+    dim_boost: float = 1.0,
+    length: str = "120 seconds",
+    hop: str = "60 seconds",
+    reuse_seg: bool = True,
+) -> DataFrame:
+    """BM25 top-k straight from the TRANSCRIPT — no segment text is ever
+    materialized.
+
+    Key identity: tokenizing the space-joined segment text is exactly the
+    concatenation of the members' token lists, so per segment
+    ``tf(term) = sum(member tf)`` and ``dl = sum(member token count)``.
+    That turns both the ordered ``collect_list`` string build AND the
+    second corpus scan of :func:`bm25_topk` into ONE window aggregation of
+    small integers:
+
+      1. per-row term counts (projection, codegen) ->
+      2. one groupBy(conv, window) SUM pass (map-side partial; the only
+         heavy shuffle) ->
+      3. corpus stats aggregated from the per-segment rows (already tiny)
+         and broadcast back ->
+      4. scoring projection + TakeOrderedAndProject.
+
+    Scores are identical to ``bm25_topk(build_segments(t), q,
+    conv_dimension(t))`` (test-pinned). At 100 TB this is the plan you
+    want when serving search without a stored segment table: the shuffle
+    carries a handful of longs per (row, window) instead of the window's
+    full text."""
+    terms = [t for t in query.lower().split() if t]
+
+    def _tf(term: str) -> Column:
+        # NOTE: a 2-arg lambda would be called as (element, index) by the
+        # higher-order-function binding — close over the term instead
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term))).cast("double")
+
+    # tokenize ONCE into a real column — per-term tf expressions over the
+    # inline _toks(...) expression would re-split the text per term
+    per_row = transcripts.select("conv_id", "ts", "turn_idx", _toks(F.col("text")).alias("__toks")).select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        F.size(F.col("__toks")).cast("double").alias("__ntok"),
+        *[_tf(t).alias(f"__tf{i}") for i, t in enumerate(terms)],
+    )
+    win = F.window(F.col("ts"), length, hop)
+    seg = per_row.groupBy(F.col("conv_id"), win.alias("win")).agg(
+        F.sum("__ntok").alias("__dl_w"),
+        *[F.sum(f"__tf{i}").alias(f"__tfw{i}") for i in range(len(terms))],
+    )
+    seg = seg.select(
+        F.concat_ws(
+            "_",
+            F.col("conv_id"),
+            (_ts_micros(F.col("win.start")) / F.lit(1_000_000)).cast("long").cast("string"),
+        ).alias("seg_id"),
+        "*",
+    )
+    # conversation dimension (J3): same sums over the first 3 turns,
+    # ordered-join-free for the same reason
+    dim = (
+        per_row.filter(F.col("turn_idx") < 3)
+        .groupBy(F.col("conv_id").alias("__dconv"))
+        .agg(
+            F.sum("__ntok").alias("__dl_d"),
+            *[F.sum(f"__tf{i}").alias(f"__tfd{i}") for i in range(len(terms))],
+        )
+    )
+    seg = seg.join(F.broadcast(dim), seg.conv_id == dim.__dconv, "left")
+    # missing dim == empty text: 0 tokens, 0 tf (matches _toks(NULL))
+    seg = seg.withColumn("__dl_d", F.coalesce(F.col("__dl_d"), F.lit(0.0)))
+    for i in range(len(terms)):
+        seg = seg.withColumn(f"__tfd{i}", F.coalesce(F.col(f"__tfd{i}"), F.lit(0.0)))
+
+    if reuse_seg:
+        # stats AND scoring read the per-segment table; without this the
+        # whole upstream subtree (transcript derivation + window sums) runs
+        # twice — the same double-scan bm25_topk pays. The per-segment
+        # table is tiny (a few doubles per window), so materializing it in
+        # the block manager is the production trade (set False to keep a
+        # single pure plan, e.g. for plan-shape tests).
+        seg = seg.localCheckpoint()
+    stats_aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for f, pre in (("w", "__tfw"), ("d", "__tfd")):
+        stats_aggs.append(F.avg(F.col(f"__dl_{f}")).alias(f"__avgdl_{f}"))
+        for i in range(len(terms)):
+            stats_aggs.append(
+                F.sum((F.col(f"{pre}{i}") > 0).cast("int")).cast("double").alias(f"__df_{f}_{i}")
+            )
+    stats = seg.agg(*stats_aggs)
+    scored = seg.crossJoin(F.broadcast(stats))
+
+    def field_score(f: str, pre: str) -> Column:
+        total = None
+        for i in range(len(terms)):
+            tf = F.col(f"{pre}{i}")
+            df = F.col(f"__df_{f}_{i}")
+            idf = F.log(F.lit(1.0) + (F.col("__n") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+            norm = F.col(f"__dl_{f}") / F.greatest(F.col(f"__avgdl_{f}"), F.lit(1e-9))
+            c = F.when(
+                tf > 0,
+                idf * tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm)),
+            ).otherwise(F.lit(0.0))
+            total = c if total is None else total + c
+        return total
+
+    best = F.greatest(F.lit(words_boost) * field_score("w", "__tfw"), F.lit(dim_boost) * field_score("d", "__tfd"))
     return (
         scored.withColumn("bm25", F.round(best, 6))
         .filter(F.col("bm25") > 0)

@@ -142,3 +142,23 @@ def test_bm25_index_stats_match_inline(spark, transcripts_sdf):
             indexed.sort_values("seg_id").reset_index(drop=True),
             inline.sort_values("seg_id").reset_index(drop=True),
         )
+
+
+def test_bm25_fused_matches_segment_form(spark, transcripts_sdf):
+    """bm25_topk_fused (window sums over the raw transcript, no segment
+    text materialized) must score identically to the segment-table form:
+    tokenizing the space-joined segment text IS the concatenation of the
+    members' token lists."""
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk, bm25_topk_fused
+
+    t = transcripts_sdf
+    for q in ("click error purchase", "signup view", "click zzznotaword"):
+        seg_form = (
+            bm25_topk(build_segments(t), q, conv_dimension(t), k=50)
+            .toPandas().sort_values("seg_id").reset_index(drop=True)
+        )
+        fused = (
+            bm25_topk_fused(t, q, k=50)
+            .toPandas().sort_values("seg_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fused, seg_form)
