@@ -180,11 +180,13 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     # salted two-stage collect (same rows, spread buffers)
     from pyspark.sql import functions as F
 
-    # a viral BURST: the first 3 turns of one conversation replicated until
-    # the single hottest (conv, window) group holds ~30x the average core's
-    # share — the shape where the plain plan's one-reducer collect_list is
-    # the critical path. (Spreading the same rows over many windows just
-    # load-balances across reducers — no straggler, measured.)
+    # a viral BURST: the first 3 turns of one conversation replicated to
+    # ~30x the base corpus, all landing in ONE (conv, window) group — the
+    # hot group is ~97% of the skewed input, i.e. a skew ratio of ~cpus
+    # core-shares, which is where the salted two-stage collect's win
+    # exceeds its extra-shuffle cost (measured crossover: a 300k-row burst
+    # still loses, 3M wins). Spreading the same rows over many windows
+    # just load-balances across reducers — no straggler, measured.
     hot_conv = t.select("conv_id").limit(1)
     hot_rows = t.join(F.broadcast(hot_conv), "conv_id", "left_semi").filter(F.col("turn_idx") < 3)
     n_rep = max(1, 30 * n_turns // max(hot_rows.count(), 1))
@@ -207,7 +209,12 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
             skew_best[label] = min(skew_best.get(label, dt), dt)
     for label, _ in skew_cases:
         timings[label] = round(skew_best[label], 3)
-    skewed.unpersist()
+    try:
+        # DataFrame.unpersist is a no-op for localCheckpoint output; free
+        # the checkpointed RDD itself (LogicalRDD accessor)
+        skewed._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
     # streaming micro-bench: the A1 functionals as an availableNow stream
     # over the stored transcript (bounded state via watermark); rows/s is
@@ -220,12 +227,17 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
 
     sdir = tempfile.mkdtemp(prefix="bench_stream_")
     t.repartition(8).write.parquet(f"{sdir}/transcript")
-    t0 = time.perf_counter()
-    stream = read_transcript_stream(spark, f"{sdir}/transcript", max_files_per_trigger=2)
-    run_stream_to_memory(
-        sliding_window_functionals_stream(stream), "bench_stream_funcs", spark
-    )
-    stream_dt = time.perf_counter() - t0
+
+    def _stream_pass(i: int) -> float:
+        t0 = time.perf_counter()
+        stream = read_transcript_stream(spark, f"{sdir}/transcript", max_files_per_trigger=2)
+        run_stream_to_memory(
+            sliding_window_functionals_stream(stream), f"bench_stream_funcs_{i}", spark
+        )
+        return time.perf_counter() - t0
+
+    _stream_pass(0)  # warm-up, then best-of-3 (repo bench protocol)
+    stream_dt = min(_stream_pass(i) for i in range(1, 4))
     timings["stream_functionals"] = round(stream_dt, 3)
     stream_rows_per_sec = round(n_turns / stream_dt, 1)
     shutil.rmtree(sdir, ignore_errors=True)

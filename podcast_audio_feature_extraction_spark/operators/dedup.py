@@ -283,6 +283,22 @@ def dedup_clusters(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).distinct()
     labels = docs.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
+    def _free_local_checkpoint(ckpt_df: DataFrame) -> None:
+        """Release a localCheckpoint's block-manager storage.
+
+        ``DataFrame.unpersist()`` is a NO-OP for localCheckpoint output (it
+        only clears SQL-cache-manager entries; the checkpoint persists the
+        internal RDD directly — verified empirically via
+        ``sc.getPersistentRDDs``). The checkpointed DataFrame's analyzed
+        plan is a LogicalRDD wrapping exactly that RDD, so unpersist it.
+        Best-effort: if the internal accessor ever moves, leaking the old
+        behavior (checkpoints freed at session end) beats failing the job.
+        """
+        try:
+            ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     e = e.localCheckpoint()  # edges reused every round: cut the re-read
     labels = labels.localCheckpoint()
     prev_checkpoint = None
@@ -309,7 +325,7 @@ def dedup_clusters(
         # checkpoint blocks are dead weight in the block manager now; free
         # them so a deep chain holds at most 2 copies, not max_iters
         if prev_checkpoint is not None:
-            prev_checkpoint.unpersist()
+            _free_local_checkpoint(prev_checkpoint)
         prev_checkpoint = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:

@@ -215,8 +215,10 @@ def functional_grid(
         v = F.col(c)
         mean = F.avg(v)
         std = F.coalesce(F.stddev_pop(v), F.lit(0.0))
+        # signed rounded aggregates carry `+ 0.0` (both dialects): DuckDB's
+        # round yields IEEE -0.0 which string-canonicalizes as '-0'
         if "mean" in stats:
-            aggs.append(_r(mean).alias(f"{c}_mean"))
+            aggs.append((_r(mean) + F.lit(0.0)).alias(f"{c}_mean"))
         if "std" in stats:
             aggs.append(_r(std).alias(f"{c}_std"))
         if "min" in stats:
@@ -232,7 +234,7 @@ def functional_grid(
             )
             aggs.append(pct_agg.alias(f"__{c}_pcts"))
             for i, s in enumerate(pcts_wanted):
-                post[f"{c}_{s}"] = _r(F.col(f"__{c}_pcts")[i])
+                post[f"{c}_{s}"] = _r(F.col(f"__{c}_pcts")[i]) + F.lit(0.0)
         if "cv" in stats:
             aggs.append((_r(F.when(mean != 0, std / mean).otherwise(F.lit(0.0))) + F.lit(0.0)).alias(f"{c}_cv"))
         if "slope" in stats:
@@ -272,7 +274,7 @@ def functional_grid_sql(
         for s in stats:
             r = f"round({{}}, {round_digits})"
             if s == "mean":
-                cols.append(r.format(f"avg({c})") + f" AS {c}_mean")
+                cols.append(r.format(f"avg({c})") + f" + 0.0 AS {c}_mean")
             elif s == "std":
                 cols.append(r.format(f"COALESCE(stddev_pop({c}), 0.0)") + f" AS {c}_std")
             elif s == "min":
@@ -280,7 +282,7 @@ def functional_grid_sql(
             elif s == "max":
                 cols.append(f"max({c}) AS {c}_max")
             elif s in _GRID_PCTS:
-                cols.append(r.format(f"quantile_cont({c}, {_GRID_PCTS[s]})") + f" AS {c}_{s}")
+                cols.append(r.format(f"quantile_cont({c}, {_GRID_PCTS[s]})") + f" + 0.0 AS {c}_{s}")
             elif s == "cv":
                 cols.append(
                     f"round(CASE WHEN avg({c}) <> 0 THEN COALESCE(stddev_pop({c}), 0.0) / avg({c}) "

@@ -137,21 +137,45 @@ def bm25_index(
     corpus: per-query cost drops from 2 full scans to 1 (scoring only).
     """
     seg, fields = _prep_fields(segments, conv_dim, words_boost, dim_boost)
-    term_df = None
-    meta = None
-    for f, _ in fields:
-        t = (
-            seg.select(F.explode(F.array_distinct(F.col(f"__toks_{f}"))).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("double").alias("df"))
-            .select(F.lit(f).alias("field"), "term", "df")
+
+    # term_df in ONE corpus scan: tag each field's distinct tokens with its
+    # field name, concat, explode once, count (a per-field loop of
+    # explode+agg would re-scan and re-tokenize the corpus per field)
+    def _tagged(fname: str) -> Column:
+        return F.transform(
+            F.array_distinct(F.col(f"__toks_{fname}")),
+            lambda t: F.struct(F.lit(fname).alias("field"), t.alias("term")),
         )
-        term_df = t if term_df is None else term_df.unionByName(t)
-        m = seg.agg(
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg(F.col(f"__dl_{f}")).alias("avgdl"),
-        ).select(F.lit(f).alias("field"), "n_docs", "avgdl")
-        meta = m if meta is None else meta.unionByName(m)
+
+    tagged = [_tagged(f) for f, _ in fields]
+    arr = F.concat(*tagged) if len(tagged) > 1 else tagged[0]
+    term_df = (
+        seg.select(F.explode(arr).alias("p"))
+        .groupBy(F.col("p.field").alias("field"), F.col("p.term").alias("term"))
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+
+    # field_meta in ONE corpus scan: all fields' avgdl in one aggregate,
+    # unpivoted to long form by exploding the 1-row result (re-selecting
+    # the agg per field would recompute it per branch)
+    m = seg.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        *[F.avg(F.col(f"__dl_{f}")).alias(f"__avg_{f}") for f, _ in fields],
+    )
+    meta = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col("__n").alias("n_docs"),
+                        F.col(f"__avg_{f}").alias("avgdl"),
+                    )
+                    for f, _ in fields
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
     return term_df, meta
 
 

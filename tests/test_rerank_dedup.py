@@ -239,3 +239,22 @@ def test_dedup_clusters_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(docs, pairs, max_iters=2)
+
+
+def test_dedup_clusters_frees_previous_round_checkpoints(spark):
+    """Deep chain: the loop must not accumulate one block-manager copy of
+    the label table per round (DataFrame.unpersist is a no-op on
+    localCheckpoint output — the fix unpersists the LogicalRDD's RDD)."""
+    from podcast_audio_feature_extraction_spark.operators.dedup import dedup_clusters
+
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # a 12-node path graph: min-label propagation needs ~11 rounds
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(12))}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": list(range(11)), "doc_b": list(range(1, 12)), "jaccard": 1.0})
+    )
+    out = dedup_clusters(docs, pairs, max_iters=20)
+    assert out.filter("cluster_id = 0").count() == 12
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # edges + labels seed + current + previous round <= 4 extra, never ~11
+    assert n_after - n_before <= 4, (n_before, n_after)
