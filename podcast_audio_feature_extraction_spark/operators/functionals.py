@@ -139,7 +139,10 @@ def window_functionals(
     )
 
 
-GRID_STATS = ("mean", "std", "min", "max", "median", "p20", "p80", "cv", "slope", "range")
+GRID_STATS = (
+    "mean", "std", "min", "max", "median", "p20", "p80", "cv", "slope", "range",
+    "skew", "kurt",
+)
 _GRID_PCTS = {"p20": 0.2, "median": 0.5, "p80": 0.8}
 
 
@@ -246,6 +249,35 @@ def functional_grid(
             )
         if "range" in stats:
             aggs.append(_r(F.max(v) - F.min(v)).alias(f"{c}_range"))
+        if "skew" in stats or "kurt" in stats:
+            # POPULATION skewness/kurtosis from raw moments — Spark's
+            # built-in skewness/kurtosis and DuckDB's use different bias
+            # corrections, so both dialects compute the identical
+            # m_k = E[x^k] arithmetic instead (portable to the last ulp
+            # up to summation order, absorbed by round 6)
+            m1, m2r, m3r, m4r = (F.avg(v), F.avg(v * v), F.avg(v * v * v), F.avg(v * v * v * v))
+            var = m2r - m1 * m1
+            if "skew" in stats:
+                m3c = m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * m1 * m1 * m1
+                aggs.append(
+                    (
+                        _r(F.when(var > 1e-12, m3c / F.pow(var, F.lit(1.5))).otherwise(F.lit(0.0)))
+                        + F.lit(0.0)
+                    ).alias(f"{c}_skew")
+                )
+            if "kurt" in stats:
+                m4c = (
+                    m4r
+                    - F.lit(4.0) * m1 * m3r
+                    + F.lit(6.0) * m1 * m1 * m2r
+                    - F.lit(3.0) * m1 * m1 * m1 * m1
+                )
+                aggs.append(
+                    (
+                        _r(F.when(var > 1e-12, m4c / (var * var) - F.lit(3.0)).otherwise(F.lit(0.0)))
+                        + F.lit(0.0)
+                    ).alias(f"{c}_kurt")
+                )
     out = expanded.groupBy(conv_col, "__ws_s").agg(*aggs)
     if post:
         out = out.withColumns(post)
@@ -295,6 +327,25 @@ def functional_grid_sql(
                 )
             elif s == "range":
                 cols.append(r.format(f"max({c}) - min({c})") + f" AS {c}_range")
+            elif s in ("skew", "kurt"):
+                m1, m2r = f"avg({c})", f"avg({c}*{c})"
+                m3r, m4r = f"avg({c}*{c}*{c})", f"avg({c}*{c}*{c}*{c})"
+                var = f"({m2r} - {m1}*{m1})"
+                if s == "skew":
+                    m3c = f"({m3r} - 3.0*{m1}*{m2r} + 2.0*{m1}*{m1}*{m1})"
+                    cols.append(
+                        f"round(CASE WHEN {var} > 1e-12 THEN {m3c} / pow({var}, 1.5) "
+                        f"ELSE 0.0 END, {round_digits}) + 0.0 AS {c}_skew"
+                    )
+                else:
+                    m4c = (
+                        f"({m4r} - 4.0*{m1}*{m3r} + 6.0*{m1}*{m1}*{m2r}"
+                        f" - 3.0*{m1}*{m1}*{m1}*{m1})"
+                    )
+                    cols.append(
+                        f"round(CASE WHEN {var} > 1e-12 THEN {m4c} / ({var}*{var}) - 3.0 "
+                        f"ELSE 0.0 END, {round_digits}) + 0.0 AS {c}_kurt"
+                    )
     body = ",\n               ".join(cols)
     return f"""
         SELECT conv_id,

@@ -106,7 +106,10 @@ def test_functional_grid_single_pass_and_matches_numpy(spark, transcripts_pdf):
     never the shuffle count) and matches a numpy oracle per cell."""
     from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid
 
-    stats = ("mean", "std", "min", "max", "median", "p20", "p80", "cv", "slope", "range")
+    stats = (
+        "mean", "std", "min", "max", "median", "p20", "p80", "cv", "slope", "range",
+        "skew", "kurt",
+    )
     vpdf = _with_val(transcripts_pdf)
     t = spark.createDataFrame(vpdf).withColumn(
         "tok",
@@ -146,6 +149,22 @@ def test_functional_grid_single_pass_and_matches_numpy(spark, transcripts_pdf):
         vx = np.var(x)
         slope = (np.mean(x * v) - np.mean(x) * np.mean(v)) / vx if vx > 0 else 0.0
         assert abs(row["val_slope"] - round(slope, 6)) < 1e-6
+        var = np.mean(v**2) - np.mean(v) ** 2
+        if var > 1e-12:
+            m3c = np.mean(v**3) - 3 * np.mean(v) * np.mean(v**2) + 2 * np.mean(v) ** 3
+            m4c = (
+                np.mean(v**4)
+                - 4 * np.mean(v) * np.mean(v**3)
+                + 6 * np.mean(v) ** 2 * np.mean(v**2)
+                - 3 * np.mean(v) ** 4
+            )
+            # numpy's accumulation order differs from Spark's; near a round-6
+            # midpoint the two can land one rounding step apart (the n=2
+            # kurt = exactly -2 case) — allow one step
+            assert abs(row["val_skew"] - round(m3c / var**1.5, 6)) < 1.5e-6
+            assert abs(row["val_kurt"] - round(m4c / var**2 - 3.0, 6)) < 1.5e-6
+        else:
+            assert row["val_skew"] == 0.0 and row["val_kurt"] == 0.0
 
 
 def test_functional_grid_rejects_unknown_stat(spark, transcripts_pdf):
