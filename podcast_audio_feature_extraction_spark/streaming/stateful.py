@@ -81,6 +81,100 @@ def _make_fold(gap_s: float):
     return fold
 
 
+ASOF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("feat_turn_idx", T.IntegerType(), True),
+        T.StructField("functionals", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("feat_ts_us", T.LongType()),
+        T.StructField("feat_turn_idx", T.IntegerType()),
+        T.StructField("functionals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _make_asof_fold(inclusive: bool, tolerance_s: float | None):
+    tol_us = None if tolerance_s is None else int(tolerance_s * 1_000_000)
+
+    def fold(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState) -> "Iterator[pd.DataFrame]":
+        (conv_id,) = key
+        if state.exists:
+            feat_us, feat_idx, feats = state.get
+        else:
+            feat_us, feat_idx, feats = None, None, None
+        for pdf in pdfs:
+            # feature rows sort BEFORE query rows at equal (ts, turn_idx)
+            # iff inclusive (the batch union-trick's side ordering)
+            side_rank = pdf["side"].map({"f": 0 if inclusive else 1, "q": 1 if inclusive else 0})
+            pdf = (
+                pdf.assign(__sr=side_rank)
+                .sort_values(["ts", "turn_idx", "__sr"], kind="mergesort")
+            )
+            us = pdf["ts"].astype("int64").to_numpy() // 1000
+            rows: dict[str, list] = {k: [] for k in ("turn_idx", "ts", "feat_turn_idx", "functionals")}
+            for i, (_, r) in enumerate(pdf.iterrows()):
+                if r["side"] == "f":
+                    feat_us, feat_idx, feats = int(us[i]), int(r["turn_idx"]), r["functionals"]
+                    continue
+                fresh = feat_us is not None and (tol_us is None or int(us[i]) - feat_us <= tol_us)
+                rows["turn_idx"].append(int(r["turn_idx"]))
+                rows["ts"].append(r["ts"])
+                rows["feat_turn_idx"].append(feat_idx if fresh else None)
+                rows["functionals"].append(feats if fresh else None)
+            if rows["turn_idx"]:
+                yield pd.DataFrame({"conv_id": conv_id, **rows})
+        if feat_us is not None:
+            # state travels through the pickle path (not Arrow): numpy
+            # scalars/arrays must be coerced to pure-Python types
+            state.update(
+                (
+                    int(feat_us),
+                    None if feat_idx is None else int(feat_idx),
+                    None if feats is None else [float(x) for x in feats],
+                )
+            )
+
+    return fold
+
+
+def stateful_asof_enrich(
+    tagged: DataFrame,
+    inclusive: bool = True,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Low-latency streaming as-of (the sub-second sibling of the
+    micro-batch ``enrich_stream_with_features``): ONE co-partitioned
+    stream carries both feature rows (side='f': conv_id, turn_idx, ts,
+    functionals) and query/turn rows (side='q'); per conv_id the state
+    holds ONLY the newest feature (O(1), not per-row), and each query row
+    is emitted with the latest feature at-or-before its ts — the same
+    zero-leakage contract as the batch as-of, evaluated incrementally.
+
+    Ordering contract: rows arrive in (ts, turn_idx) order per conv_id
+    ACROSS micro-batches (time-partitioned source); intra-batch disorder
+    is tolerated (sorted before folding). ``tolerance_s`` nulls out stale
+    features exactly like the batch operators.
+    """
+    return (
+        tagged.select("conv_id", "turn_idx", "ts", "side", "functionals")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_asof_fold(inclusive, tolerance_s),
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_session_features(
     transcripts: DataFrame,
     gap_s: float = 1800.0,

@@ -68,3 +68,82 @@ def test_stateful_stream_matches_batch(spark, transcripts_pdf, tmp_path):
     assert len(got) == len(want)
     for c in ("session_id", "turns_so_far", "tokens_so_far"):
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+def test_stateful_asof_enrich_matches_batch_asof(spark, transcripts_pdf, tmp_path):
+    """The O(1)-state streaming as-of over a tagged feature+query stream
+    must equal the batch as-of join on the same data, across time-ordered
+    micro-batches (zero leakage evaluated incrementally)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from podcast_audio_feature_extraction_spark.operators.asof import asof_join
+    from podcast_audio_feature_extraction_spark.streaming.stateful import stateful_asof_enrich
+
+    rng = np.random.default_rng(5)
+    pdf = transcripts_pdf.sort_values(["ts", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    # assistant turns publish a feature vector; user turns query
+    is_feat = pdf["role"].eq("assistant")
+    tagged = pdf.assign(
+        side=np.where(is_feat, "f", "q"),
+        functionals=[
+            [float(i), float(i % 7)] if f else None for i, f in enumerate(is_feat)
+        ],
+    )[["conv_id", "turn_idx", "ts", "side", "functionals"]]
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("side", T.StringType(), False),
+            T.StructField("functionals", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    in_dir = tmp_path / "asof_stream_in"
+    in_dir.mkdir()
+    for i, chunk in enumerate(np.array_split(tagged, 3)):
+        spark.createDataFrame(chunk.reset_index(drop=True), schema=schema).coalesce(1).write.parquet(
+            str(in_dir / f"batch_{i}")
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(in_dir) + "/batch_*")
+    )
+    q = (
+        stateful_asof_enrich(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_asof")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def canon(df):
+        return (
+            df.select(
+                "conv_id", "turn_idx", "feat_turn_idx",
+                F.col("functionals").cast("string").alias("functionals"),
+            )
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    got = canon(spark.table("stateful_asof"))
+
+    all_sdf = spark.createDataFrame(tagged, schema=schema)
+    left = all_sdf.filter("side = 'q'").select("conv_id", "turn_idx", "ts")
+    right = all_sdf.filter("side = 'f'").select(
+        "conv_id", F.col("turn_idx").alias("feat_turn_idx"), "ts", "functionals"
+    )
+    want = canon(
+        asof_join(
+            left, right, value_cols=["feat_turn_idx", "functionals"],
+            right_tie_cols=["feat_turn_idx"], left_tie_cols=["turn_idx"],
+        )
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
