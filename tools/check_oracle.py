@@ -53,7 +53,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from podcast_audio_feature_extraction_spark.session import get_spark
 
-    spark = get_spark(app_name="check-oracle", master="local[8]")
+    spark = get_spark(
+        app_name="check-oracle",
+        master="local[8]",
+        # the console progress bar writes \r-terminated fragments that can
+        # interleave INTO an OK/FAIL line, defeating ^OK greps of the log
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
