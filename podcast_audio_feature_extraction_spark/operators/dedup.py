@@ -259,6 +259,23 @@ def simhash_pairs_sql(
     """
 
 
+def _free_local_checkpoint(ckpt_df: DataFrame) -> None:
+    """Release a localCheckpoint's block-manager storage.
+
+    ``DataFrame.unpersist()`` is a NO-OP for localCheckpoint output (it
+    only clears SQL-cache-manager entries; the checkpoint persists the
+    internal RDD directly — verified empirically via
+    ``sc.getPersistentRDDs``). The checkpointed DataFrame's analyzed
+    plan is a LogicalRDD wrapping exactly that RDD, so unpersist it.
+    Best-effort: if the internal accessor ever moves, leaking the old
+    behavior (checkpoints freed at session end) beats failing the job.
+    """
+    try:
+        ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -283,22 +300,6 @@ def dedup_clusters(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).distinct()
     labels = docs.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
-    def _free_local_checkpoint(ckpt_df: DataFrame) -> None:
-        """Release a localCheckpoint's block-manager storage.
-
-        ``DataFrame.unpersist()`` is a NO-OP for localCheckpoint output (it
-        only clears SQL-cache-manager entries; the checkpoint persists the
-        internal RDD directly — verified empirically via
-        ``sc.getPersistentRDDs``). The checkpointed DataFrame's analyzed
-        plan is a LogicalRDD wrapping exactly that RDD, so unpersist it.
-        Best-effort: if the internal accessor ever moves, leaking the old
-        behavior (checkpoints freed at session end) beats failing the job.
-        """
-        try:
-            ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
-
     e = e.localCheckpoint()  # edges reused every round: cut the re-read
     labels = labels.localCheckpoint()
     prev_checkpoint = None
@@ -342,6 +343,106 @@ def dedup_clusters(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
+    )
+
+
+def dedup_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the O(log^2 n)-round form for graphs where min-label
+    propagation's O(diameter) rounds would be the bottleneck (billion-node
+    near-dup graphs with DEEP chains; near-dup clusters are usually
+    shallow, so :func:`dedup_clusters` stays the default).
+
+    Each round is two shuffled aggregations + joins over the edge list:
+
+    - large-star: every node links its LARGER neighbors to the minimum of
+      its neighborhood (+self) — long tails hook onto local minima;
+    - small-star: every node links its smaller-or-equal neighbors (+
+      itself) to that minimum — stars flatten.
+
+    The edge set converges to one star per component rooted at the
+    component minimum (Kiveris et al., "Connected Components in MapReduce
+    and Beyond" — public algorithm). Output matches
+    :func:`dedup_clusters` exactly: (doc_id, cluster_id, is_keeper) for
+    every doc, cluster_id = component min.
+    """
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return (
+            edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _digest(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38) accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    e = _sym(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).localCheckpoint()
+    prev_ckpt = None
+    converged = e.limit(1).count() == 0  # no edges: all singletons
+    if not converged:
+        sig = _digest(e)
+    for _ in range(max_iters if not converged else 0):
+        # LARGE-STAR: m(u) = min(N(u) + {u}); for v in N(u), v > u: (v, m)
+        mins = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .select("src", F.least(F.col("__mn"), F.col("src")).alias("m"))
+        )
+        ls = (
+            e.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e1 = _sym(ls)
+        # SMALL-STAR on the larger->smaller orientation: per u, m = min of
+        # its smaller neighbors; link those neighbors AND u itself to m
+        d = e1.filter(F.col("src") > F.col("dst"))
+        mins2 = d.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = d.join(mins2, "src")
+        ss = (
+            joined.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(joined.select("src", F.col("m").alias("dst")))
+        )
+        new_e = _sym(ss).localCheckpoint()
+        new_sig = _digest(new_e)
+        if prev_ckpt is not None:
+            _free_local_checkpoint(prev_ckpt)
+        prev_ckpt, e = new_e, new_e
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge within max_iters={max_iters}"
+        )
+    # star form: every non-root points directly at its component min
+    roots = e.filter(F.col("src") > F.col("dst")).groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("root")
+    )
+    nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    return (
+        nodes.join(roots, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("root"), F.col("node")).alias("cluster_id"),
+            (F.col("root").isNull()).cast("int").alias("is_keeper"),
+        )
     )
 
 
