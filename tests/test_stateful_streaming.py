@@ -147,3 +147,44 @@ def test_stateful_asof_enrich_matches_batch_asof(spark, transcripts_pdf, tmp_pat
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stateful_asof_tolerance_nulls_stale_features(spark, tmp_path):
+    """tolerance_s must null out features older than the bound — same
+    semantics as the batch as-of tolerance (batch mode of the fold)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from podcast_audio_feature_extraction_spark.streaming.stateful import stateful_asof_enrich
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("side", T.StringType(), False),
+            T.StructField("functionals", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    rows = [
+        ("c", 0, pd.Timestamp(100, unit="s"), "f", [1.0]),
+        ("c", 1, pd.Timestamp(130, unit="s"), "q", None),   # 30s old: fresh
+        ("c", 2, pd.Timestamp(300, unit="s"), "q", None),   # 200s old: stale
+        ("c", 3, pd.Timestamp(310, unit="s"), "f", [2.0]),
+        ("c", 4, pd.Timestamp(315, unit="s"), "q", None),   # 5s old: fresh
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=schema.names), schema=schema)
+    in_dir = str(tmp_path / "tol_in")
+    sdf.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        stateful_asof_enrich(stream, tolerance_s=60.0)
+        .writeStream.format("memory").queryName("tol_asof")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("tol_asof").toPandas().sort_values("turn_idx").reset_index(drop=True)
+    assert list(got["turn_idx"]) == [1, 2, 4]
+    assert got.loc[0, "functionals"] is not None and list(got.loc[0, "functionals"]) == [1.0]
+    assert got.loc[1, "functionals"] is None or pd.isna(got.loc[1, "functionals"])
+    assert list(got.loc[2, "functionals"]) == [2.0]
