@@ -258,6 +258,140 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def fit_pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 20_000,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Product-quantization codebooks (Jégou et al., IEEE TPAMI 2011 —
+    public method): split the d-dim space into ``m_sub`` contiguous
+    subspaces and fit an independent k-means codebook (``k_codes``
+    centroids) per subspace on a bounded DETERMINISTIC sample (ordered
+    limit — same O(sample) driver-side fit pattern as the IVF quantizer).
+
+    Returns an (m_sub, k_codes, d/m_sub) numpy array. A 64-dim float64
+    vector encodes to m_sub small ints — with 8x16 that is 8 nibbles vs
+    512 bytes, the memory step that makes billion-vector ANN fit in RAM.
+    """
+    import numpy as np
+
+    pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    d = x.shape[1]
+    if d % m_sub:
+        raise ValueError(f"embedding dim {d} not divisible by m_sub={m_sub}")
+    sub = d // m_sub
+    return np.stack(
+        [
+            _kmeans_core(np.ascontiguousarray(x[:, m * sub : (m + 1) * sub]), k_codes, iters, seed + m)
+            for m in range(m_sub)
+        ]
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the PQ code (array<int> of length m_sub) to every vector:
+    per subspace, the index of the nearest codebook centroid. One
+    Arrow-vectorized pass with the codebooks broadcast as a literal —
+    this is the one-off encode job whose output IS the stored index."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m_sub, _, sub = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(x), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            xs = x[:, m * sub : (m + 1) * sub]
+            # (n, k) squared distances to this subspace's codebook
+            d = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return emb.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: per
+    query, a (m_sub x k_codes) lookup table of exact subspace distances to
+    the RAW query vector is built once; each corpus code's approximate
+    squared L2 distance is the sum of m_sub table lookups — no float
+    vector is ever read at scan time.
+
+    Scale shape: queries + their LUTs broadcast (tiny); the corpus scan
+    reads only the code column (m_sub small ints/row); per-query top-k is
+    a bounded window. Returns (q_id, c_id, adc_dist, rk) with rk <= k,
+    ascending distance."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_sub, k_codes, sub = books.shape
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("pq_topk: empty query set")
+    q_ids = qpdf[id_col].tolist()
+    qx = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    # (n_q, m_sub, k_codes) exact subspace distances: the ADC LUTs
+    luts = np.stack(
+        [
+            ((qx[:, m * sub : (m + 1) * sub][:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            for m in range(m_sub)
+        ],
+        axis=1,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("q_id", corpus_codes.schema[id_col].dataType),
+            StructField("c_id", corpus_codes.schema[id_col].dataType),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf[code_col]])
+            # dist[q, row] = sum_m luts[q, m, codes[row, m]]
+            dist = np.zeros((len(q_ids), len(codes)))
+            for m in range(m_sub):
+                dist += luts[:, m, :][:, codes[:, m]]
+            for qi, q_id in enumerate(q_ids):
+                yield pd.DataFrame(
+                    {"q_id": q_id, "c_id": pdf[id_col].to_numpy(), "adc_dist": dist[qi]}
+                )
+
+    scored = (
+        corpus_codes.select(id_col, code_col)
+        .mapInPandas(score, schema=out_schema)
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("adc_dist", F.round(F.col("adc_dist"), 9))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def quantize_col(vec: Column, lo: float = -1.0, hi: float = 1.0, levels: int = 256) -> Column:
     """int8-style embedding quantization (storage path: 4-8x smaller
     feature tables, the float16-HDF5 analog of the reference's sinks).
