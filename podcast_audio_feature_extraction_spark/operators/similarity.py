@@ -392,6 +392,88 @@ def pq_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition — IVF centroid
+    buckets PRUNE the candidate set (~n_centroids/nprobe reduction,
+    equi-join on centroid_id), then PQ/ADC scores only the survivors from
+    their m_sub-int codes (no float vector read at scan time).
+
+    Both model artifacts are bounded-sample driver fits broadcast as
+    literals; the scan-side cost per candidate is m_sub table lookups.
+    Returns (q_id, c_id, adc_dist, rk), ascending approximate L2.
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_sub, k_codes, sub = books.shape
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    probe = _nearest_centroids_udf(centroids, nprobe)
+    corpus = pq_encode(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("centroid_id"),
+        ),
+        books,
+        vec_col=vec_col,
+    ).select(id_col, "centroid_id", "pq_code")
+
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("ivf_pq_topk: empty query set")
+    qx = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    luts = np.stack(
+        [
+            ((qx[:, m * sub : (m + 1) * sub][:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            for m in range(m_sub)
+        ],
+        axis=1,
+    )  # (n_q, m_sub, k_codes)
+    lut_rows = [
+        # .item() strips numpy scalar wrappers (createDataFrame rejects them)
+        (
+            qpdf[id_col].iloc[i].item() if hasattr(qpdf[id_col].iloc[i], "item") else qpdf[id_col].iloc[i],
+            [float(v) for v in luts[i].ravel()],
+        )
+        for i in range(len(qpdf))
+    ]
+    spark = emb.sparkSession
+    q = (
+        spark.createDataFrame(lut_rows, schema=f"q_id {emb.schema[id_col].dataType.simpleString()}, lut array<double>")
+        .join(
+            queries.select(F.col(id_col).alias("q_id"), probe(F.col(vec_col)).alias("__probes")),
+            "q_id",
+        )
+        .select("q_id", "lut", F.explode("__probes").alias("centroid_id"))
+    )
+    # ADC over the pruned candidates: dist = sum_m lut[m * k_codes + code[m]]
+    code_sum = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda code, m: F.element_at(F.col("lut"), (m * F.lit(k_codes) + code + F.lit(1)).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "centroid_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("c_id"), F.round(code_sum, 9).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def quantize_col(vec: Column, lo: float = -1.0, hi: float = 1.0, levels: int = 256) -> Column:
     """int8-style embedding quantization (storage path: 4-8x smaller
     feature tables, the float16-HDF5 analog of the reference's sinks).

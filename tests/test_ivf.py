@@ -80,3 +80,41 @@ def test_pq_adc_recall_and_self_consistency(spark):
     # every returned neighbour is from the query's own cluster (50-block)
     for q_id, grp in got.groupby("q_id"):
         assert all(c // 50 == q_id // 50 for c in grp["c_id"]), q_id
+
+
+def test_ivf_pq_subset_of_probed_buckets_and_adc_consistent(spark):
+    """IVF-PQ candidates come only from probed centroid buckets, and the
+    JVM-side ADC sum must equal the pandas pq_topk ADC on the shared
+    candidate set (same LUT arithmetic, two implementations)."""
+    import numpy as np
+
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((6, 16)) * 5
+    pts = np.concatenate([c + rng.standard_normal((40, 16)) * 0.4 for c in centers])
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(pts)), "embedding": [p.tolist() for p in pts]})
+    )
+    cents = fit_ivf_centroids(emb, n_centroids=6, sample_rows=1000, iters=10)
+    books = fit_pq_codebooks(emb, m_sub=8, k_codes=32, sample_rows=1000, iters=10)
+    queries = emb.filter(F.col("vec_id").isin([0, 100, 239]))
+
+    got = ivf_pq_topk(emb, queries, cents, books, k=5, nprobe=1).toPandas()
+    assert set(got["q_id"]) == {0, 100, 239}
+    assert (got.groupby("q_id").size() == 5).all()
+
+    # ADC parity with the brute pq_topk on the same codes
+    codes = pq_encode(emb, books)
+    brute = pq_topk(codes, queries, books, k=len(pts)).toPandas()
+    merged = got.merge(brute, on=["q_id", "c_id"], suffixes=("_ivf", "_brute"))
+    assert len(merged) == len(got)
+    assert (merged["adc_dist_ivf"] - merged["adc_dist_brute"]).abs().max() < 1e-6
+    # with nprobe=1 on well-separated clusters, neighbours stay in-cluster
+    assert all(c // 40 == q // 40 for q, c in zip(got["q_id"], got["c_id"]))
