@@ -37,6 +37,8 @@ def __getattr__(name: str):
         "turn_features": "operators.rolling",
         "assemble_functionals": "operators.rolling",
         "window_functionals": "operators.functionals",
+        "functional_grid": "operators.functionals",
+        "robust_scale": "operators.functionals",
         "build_segments": "operators.segments",
         "asof_join": "operators.asof",
         "interval_join": "operators.interval",
@@ -45,15 +47,25 @@ def __getattr__(name: str):
         "rerank_mood": "operators.rerank",
         "search_segments": "operators.search",
         "bm25_topk": "operators.search",
+        "bm25_topk_fused": "operators.search",
+        "bm25_index": "operators.search",
+        "bm25_stats_from_index": "operators.search",
         "exact_dedup": "operators.dedup",
         "minhash_lsh_pairs": "operators.dedup",
         "simhash_pairs": "operators.dedup",
         "ngram_jaccard_pairs": "operators.dedup",
         "dedup_clusters": "operators.dedup",
+        "dedup_clusters_star": "operators.dedup",
         "brute_force_topk": "operators.similarity",
         "lsh_topk": "operators.similarity",
         "ivf_topk": "operators.similarity",
+        "fit_pq_codebooks": "operators.similarity",
+        "pq_encode": "operators.similarity",
+        "pq_topk": "operators.similarity",
+        "ivf_pq_topk": "operators.similarity",
         "embedding_near_dup_pairs": "operators.similarity",
+        "skew_guarded_agg": "operators.skew",
+        "salted_collect_sorted": "operators.skew",
         "split_col": "operators.sampling",
         "stratified_sample": "operators.sampling",
         "decontaminate_exact": "operators.sampling",
@@ -64,7 +76,10 @@ def __getattr__(name: str):
         "with_embedding": "functions.embedding",
         "flagship": "plans.backfill",
         "build_feature_table": "plans.backfill",
+        "build_feature_table_incremental": "plans.backfill",
         "backfill_features": "plans.backfill",
+        "enrich_stream_with_features": "streaming.enrich",
+        "stateful_asof_enrich": "streaming.stateful",
     }
     if name in _API:
         mod = importlib.import_module(f"{__name__}.{_API[name]}")
