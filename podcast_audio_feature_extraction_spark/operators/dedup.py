@@ -391,7 +391,9 @@ def dedup_clusters_star(
     e = _sym(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     ).localCheckpoint()
-    prev_ckpt = None
+    # seed with the initial checkpoint so round 1 frees it — it is the
+    # full symmetrized edge set, the largest RDD in the job
+    prev_ckpt = e
     converged = e.limit(1).count() == 0  # no edges: all singletons
     if not converged:
         sig = _digest(e)

@@ -261,7 +261,7 @@ def functional_grid(
                 m3c = m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * m1 * m1 * m1
                 aggs.append(
                     (
-                        _r(F.when(var > 1e-12, m3c / F.pow(var, F.lit(1.5))).otherwise(F.lit(0.0)))
+                        _r(F.when(var > F.lit(1e-10) * m2r, m3c / F.pow(var, F.lit(1.5))).otherwise(F.lit(0.0)))
                         + F.lit(0.0)
                     ).alias(f"{c}_skew")
                 )
@@ -274,7 +274,7 @@ def functional_grid(
                 )
                 aggs.append(
                     (
-                        _r(F.when(var > 1e-12, m4c / (var * var) - F.lit(3.0)).otherwise(F.lit(0.0)))
+                        _r(F.when(var > F.lit(1e-10) * m2r, m4c / (var * var) - F.lit(3.0)).otherwise(F.lit(0.0)))
                         + F.lit(0.0)
                     ).alias(f"{c}_kurt")
                 )
@@ -334,7 +334,7 @@ def functional_grid_sql(
                 if s == "skew":
                     m3c = f"({m3r} - 3.0*{m1}*{m2r} + 2.0*{m1}*{m1}*{m1})"
                     cols.append(
-                        f"round(CASE WHEN {var} > 1e-12 THEN {m3c} / pow({var}, 1.5) "
+                        f"round(CASE WHEN {var} > 1e-10 * {m2r} THEN {m3c} / pow({var}, 1.5) "
                         f"ELSE 0.0 END, {round_digits}) + 0.0 AS {c}_skew"
                     )
                 else:
@@ -343,7 +343,7 @@ def functional_grid_sql(
                         f" - 3.0*{m1}*{m1}*{m1}*{m1})"
                     )
                     cols.append(
-                        f"round(CASE WHEN {var} > 1e-12 THEN {m4c} / ({var}*{var}) - 3.0 "
+                        f"round(CASE WHEN {var} > 1e-10 * {m2r} THEN {m4c} / ({var}*{var}) - 3.0 "
                         f"ELSE 0.0 END, {round_digits}) + 0.0 AS {c}_kurt"
                     )
     body = ",\n               ".join(cols)

@@ -312,7 +312,15 @@ def pq_encode(
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.shape[1] != m_sub * sub:
+            raise ValueError(
+                f"pq_encode: vectors are {x.shape[1]}-dim but the codebooks were fit "
+                f"for {m_sub * sub} dims ({m_sub} subspaces x {sub}) — silently "
+                "truncating would corrupt every distance"
+            )
         codes = np.empty((len(x), m_sub), dtype=np.int32)
         for m in range(m_sub):
             xs = x[:, m * sub : (m + 1) * sub]
@@ -372,6 +380,8 @@ def pq_topk(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf[code_col]])
             # dist[q, row] = sum_m luts[q, m, codes[row, m]]
             dist = np.zeros((len(q_ids), len(codes)))
@@ -416,7 +426,6 @@ def ivf_pq_topk(
     books = np.asarray(codebooks, dtype=np.float64)
     m_sub, k_codes, sub = books.shape
     assign1 = _nearest_centroids_udf(centroids, 1)
-    probe = _nearest_centroids_udf(centroids, nprobe)
     corpus = pq_encode(
         emb.select(
             F.col(id_col),
@@ -438,22 +447,27 @@ def ivf_pq_topk(
         ],
         axis=1,
     )  # (n_q, m_sub, k_codes)
+    # probe assignment computed driver-side in numpy from the SAME qpdf
+    # snapshot the LUTs came from — a second Spark evaluation of `queries`
+    # could return different rows for non-deterministic inputs and pair a
+    # LUT with the wrong probe set (and costs an extra job + join)
+    cent = np.asarray(centroids, dtype=np.float64)
+    qd = ((qx[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
     lut_rows = [
         # .item() strips numpy scalar wrappers (createDataFrame rejects them)
         (
             qpdf[id_col].iloc[i].item() if hasattr(qpdf[id_col].iloc[i], "item") else qpdf[id_col].iloc[i],
             [float(v) for v in luts[i].ravel()],
+            int(probes[i][j]),
         )
         for i in range(len(qpdf))
+        for j in range(probes.shape[1])
     ]
     spark = emb.sparkSession
-    q = (
-        spark.createDataFrame(lut_rows, schema=f"q_id {emb.schema[id_col].dataType.simpleString()}, lut array<double>")
-        .join(
-            queries.select(F.col(id_col).alias("q_id"), probe(F.col(vec_col)).alias("__probes")),
-            "q_id",
-        )
-        .select("q_id", "lut", F.explode("__probes").alias("centroid_id"))
+    q = spark.createDataFrame(
+        lut_rows,
+        schema=f"q_id {emb.schema[id_col].dataType.simpleString()}, lut array<double>, centroid_id int",
     )
     # ADC over the pruned candidates: dist = sum_m lut[m * k_codes + code[m]]
     code_sum = F.aggregate(

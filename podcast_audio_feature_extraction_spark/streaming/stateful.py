@@ -109,7 +109,13 @@ def _make_asof_fold(inclusive: bool, tolerance_s: float | None):
             feat_us, feat_idx, feats = state.get
         else:
             feat_us, feat_idx, feats = None, None, None
-        for pdf in pdfs:
+        # a big group arrives as SEVERAL Arrow chunks in one micro-batch —
+        # sorting each independently would let a later chunk's older
+        # feature overwrite newer state AND hide features from earlier
+        # chunks' queries; concat first, sort once
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             # feature rows sort BEFORE query rows at equal (ts, turn_idx)
             # iff inclusive (the batch union-trick's side ordering)
             side_rank = pdf["side"].map({"f": 0 if inclusive else 1, "q": 1 if inclusive else 0})
@@ -118,14 +124,18 @@ def _make_asof_fold(inclusive: bool, tolerance_s: float | None):
                 .sort_values(["ts", "turn_idx", "__sr"], kind="mergesort")
             )
             us = pdf["ts"].astype("int64").to_numpy() // 1000
+            sides = pdf["side"].to_numpy()
+            turn_idx = pdf["turn_idx"].to_numpy()
+            ts_vals = pdf["ts"].to_numpy()
+            funcs = pdf["functionals"].tolist()
             rows: dict[str, list] = {k: [] for k in ("turn_idx", "ts", "feat_turn_idx", "functionals")}
-            for i, (_, r) in enumerate(pdf.iterrows()):
-                if r["side"] == "f":
-                    feat_us, feat_idx, feats = int(us[i]), int(r["turn_idx"]), r["functionals"]
+            for i in range(len(pdf)):
+                if sides[i] == "f":
+                    feat_us, feat_idx, feats = int(us[i]), int(turn_idx[i]), funcs[i]
                     continue
                 fresh = feat_us is not None and (tol_us is None or int(us[i]) - feat_us <= tol_us)
-                rows["turn_idx"].append(int(r["turn_idx"]))
-                rows["ts"].append(r["ts"])
+                rows["turn_idx"].append(int(turn_idx[i]))
+                rows["ts"].append(ts_vals[i])
                 rows["feat_turn_idx"].append(feat_idx if fresh else None)
                 rows["functionals"].append(feats if fresh else None)
             if rows["turn_idx"]:
