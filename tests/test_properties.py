@@ -131,3 +131,63 @@ def test_interval_join_matches_bruteforce(pts_ts, iv_spec, bucket_s):
                 want_pairs.add((p["pt_id"], v["iv_id"]))
     assert got_pairs == want_pairs
     assert len(got) == len(got_pairs)  # exactly-once per matching pair
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=3_000), min_size=1, max_size=30),
+    vals=st.data(),
+)
+def test_functional_grid_property(offsets, vals):
+    """Randomized single-conversation frames: every grid cell must match a
+    per-window pandas/numpy recomputation (mean/std/min/max/median/cv/
+    range/skew/kurt with the same guards and rounding)."""
+    from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid
+
+    spark = _get_spark()
+    v = vals.draw(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=len(offsets),
+            max_size=len(offsets),
+        )
+    )
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c",
+            "ts": pd.to_datetime(np.array(sorted(offsets)) * 1_000_000, unit="us"),
+            "val": np.asarray(v, dtype=np.float64),
+        }
+    )
+    stats = ("mean", "std", "min", "max", "median", "cv", "range", "skew", "kurt")
+    got = (
+        functional_grid(spark.createDataFrame(pdf), ["val"], stats=stats, length="120 seconds", hop="60 seconds")
+        .toPandas()
+        .set_index("win_start")
+        .sort_index()
+    )
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    assert len(got) > 0
+    for ws, row in got.iterrows():
+        lo = int(pd.Timestamp(ws).value // 1000)
+        m = pdf[(pdf["us"] >= lo) & (pdf["us"] < lo + 120_000_000)]
+        x = m["val"].to_numpy()
+        assert row["n"] == len(x) and len(x) > 0
+        mean = x.mean()
+        std = x.std()
+        assert abs(row["val_mean"] - round(mean, 6)) <= 1.1e-6
+        assert abs(row["val_std"] - round(std, 6)) <= 1.1e-6
+        assert row["val_min"] == x.min() and row["val_max"] == x.max()
+        assert abs(row["val_range"] - round(x.max() - x.min(), 6)) <= 1.1e-6
+        assert abs(row["val_median"] - round(float(np.percentile(x, 50)), 6)) <= 1.1e-6
+        cv = std / mean if mean != 0 else 0.0
+        assert abs(row["val_cv"] - round(cv, 6)) <= 1.1e-6
+        m1, m2r = x.mean(), (x**2).mean()
+        var = m2r - m1 * m1
+        # assert only 10x INSIDE the engine's relative guard so a last-ulp
+        # disagreement on the branch taken can't flake the property
+        if var > 1e-9 * m2r:
+            m3c = (x**3).mean() - 3 * m1 * m2r + 2 * m1**3
+            m4c = (x**4).mean() - 4 * m1 * (x**3).mean() + 6 * m1**2 * m2r - 3 * m1**4
+            assert abs(row["val_skew"] - round(m3c / var**1.5, 6)) <= 2e-6
+            assert abs(row["val_kurt"] - round(m4c / var**2 - 3.0, 6)) <= 2e-6
