@@ -158,13 +158,13 @@ def q_window_functionals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRID_DESCRIPTORS = ["val", "tok", "chr", "tl"]
-GRID_STATS = ("mean", "std", "min", "max", "median", "p20", "p80", "cv", "skew", "kurt")
+GRID_STATS = ("mean", "std", "min", "max", "median", "p20", "p80", "prange", "cv", "skew", "kurt")
 
 
 def q_window_functionals_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 FULL matrix form: a 4-descriptor x 10-functional grid (40 feature
+    """A1 FULL matrix form: a 4-descriptor x 11-functional grid (44 feature
     columns, incl. population skewness/kurtosis from portable raw
-    moments) in ONE groupBy pass — the 88-column eGeMAPS table shape
+    moments and the pctlrange0-2 analog p80-p20) in ONE groupBy pass — the 88-column eGeMAPS table shape
     (custom_FrameModeFunctionals.conf.inc). Descriptors: val (the LLD),
     token count, char length, tool-use flag."""
     _utc(spark)

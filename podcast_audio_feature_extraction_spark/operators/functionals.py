@@ -141,7 +141,7 @@ def window_functionals(
 
 GRID_STATS = (
     "mean", "std", "min", "max", "median", "p20", "p80", "cv", "slope", "range",
-    "skew", "kurt",
+    "skew", "kurt", "prange",
 )
 _GRID_PCTS = {"p20": 0.2, "median": 0.5, "p80": 0.8}
 
@@ -211,6 +211,10 @@ def functional_grid(
     )
 
     pcts_wanted = [s for s in stats if s in _GRID_PCTS]
+    # prange (the eGeMAPS pctlrange0-2 analog) reads p20/p80 from the same
+    # fused percentile buffer, pulling them in if not separately requested
+    if "prange" in stats:
+        pcts_wanted += [s for s in ("p20", "p80") if s not in pcts_wanted]
     aggs = [F.count(F.lit(1)).alias("n")]
     post: dict[str, object] = {}
     x = F.col("__x")
@@ -237,7 +241,14 @@ def functional_grid(
             )
             aggs.append(pct_agg.alias(f"__{c}_pcts"))
             for i, s in enumerate(pcts_wanted):
-                post[f"{c}_{s}"] = _r(F.col(f"__{c}_pcts")[i]) + F.lit(0.0)
+                if s in stats:
+                    post[f"{c}_{s}"] = _r(F.col(f"__{c}_pcts")[i]) + F.lit(0.0)
+            if "prange" in stats:
+                i20, i80 = pcts_wanted.index("p20"), pcts_wanted.index("p80")
+                # mathematically >= 0 but FP can yield -1e-17 -> round -> -0.0
+                post[f"{c}_prange"] = _r(
+                    F.col(f"__{c}_pcts")[i80] - F.col(f"__{c}_pcts")[i20]
+                ) + F.lit(0.0)
         if "cv" in stats:
             aggs.append((_r(F.when(mean != 0, std / mean).otherwise(F.lit(0.0))) + F.lit(0.0)).alias(f"{c}_cv"))
         if "slope" in stats:
@@ -327,6 +338,11 @@ def functional_grid_sql(
                 )
             elif s == "range":
                 cols.append(r.format(f"max({c}) - min({c})") + f" AS {c}_range")
+            elif s == "prange":
+                cols.append(
+                    r.format(f"quantile_cont({c}, 0.8) - quantile_cont({c}, 0.2)")
+                    + f" + 0.0 AS {c}_prange"
+                )
             elif s in ("skew", "kurt"):
                 m1, m2r = f"avg({c})", f"avg({c}*{c})"
                 m3r, m4r = f"avg({c}*{c}*{c})", f"avg({c}*{c}*{c}*{c})"
