@@ -157,25 +157,39 @@ def q_window_functionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_functionals(t, "120 seconds", "60 seconds")
 
 
-GRID_DESCRIPTORS = ["val", "tok", "chr", "tl"]
+GRID_DESCRIPTORS = ["val", "tok", "chr", "tl", "wlen", "dgt", "upr", "pnc"]
 GRID_STATS = ("mean", "std", "min", "max", "median", "p20", "p80", "prange", "cv", "skew", "kurt")
 
 
+def _grid_descriptor_cols(t: DataFrame) -> DataFrame:
+    """The 8 low-level descriptors of the full-width grid, all
+    projection-only (no window/shuffle before the grid's single
+    Exchange): val (the LLD), token count, char length, tool-use flag,
+    chars-per-token, digit count, uppercase count, punctuation count."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    tok = token_count(F.col("text")).cast("double")
+    chars = F.length(text).cast("double")
+    return (
+        t.withColumn("tok", tok)
+        .withColumn("chr", chars)
+        .withColumn("tl", F.col("tool").isNotNull().cast("double"))
+        .withColumn("wlen", chars / F.greatest(tok, F.lit(1.0)))
+        .withColumn("dgt", (F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("double"))
+        .withColumn("upr", (F.length(text) - F.length(F.regexp_replace(text, "[A-Z]", ""))).cast("double"))
+        .withColumn("pnc", (F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", ""))).cast("double"))
+    )
+
+
 def q_window_functionals_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 FULL matrix form: a 4-descriptor x 11-functional grid (44 feature
-    columns, incl. population skewness/kurtosis from portable raw
-    moments and the pctlrange0-2 analog p80-p20) in ONE groupBy pass — the 88-column eGeMAPS table shape
-    (custom_FrameModeFunctionals.conf.inc). Descriptors: val (the LLD),
-    token count, char length, tool-use flag."""
+    """A1 FULL matrix form: the literal 88-column eGeMAPS table shape —
+    an 8-descriptor x 11-functional grid (incl. population skew/kurtosis
+    from portable raw moments and the pctlrange0-2 analog p80-p20) in ONE
+    groupBy pass / one Exchange
+    (custom_FrameModeFunctionals.conf.inc:8-11, CLEF §4.1)."""
     _utc(spark)
     from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid
 
-    t = (
-        load_transcript(spark, sf_dir)
-        .withColumn("tok", token_count(F.col("text")).cast("double"))
-        .withColumn("chr", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double"))
-        .withColumn("tl", F.col("tool").isNotNull().cast("double"))
-    )
+    t = _grid_descriptor_cols(load_transcript(spark, sf_dir))
     return functional_grid(t, GRID_DESCRIPTORS, stats=GRID_STATS)
 
 
@@ -377,22 +391,45 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH-bucketed approximate cosine top-10 per query vector."""
-    _utc(spark)
-    from podcast_audio_feature_extraction_spark.operators.similarity import lsh_topk
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10, n_bits=4)
-
-
-def q_ann_lsh_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH with proper RANDOM hyperplanes (seeded literal matrix —
-    the scale-grade cosine-LSH; plan identical to the axis-aligned mode)."""
+    """Sign-LSH approximate cosine top-10 per query vector, BOTH bucketing
+    modes in one tagged result (the rerank_moods registry pattern):
+    mode='axis' = sign bits of the leading dims; mode='rand' = proper
+    random-hyperplane cosine-LSH (seeded literal matrix — the scale-grade
+    form; plan shape identical, the matrix is a broadcast literal)."""
     _utc(spark)
     from podcast_audio_feature_extraction_spark.operators.similarity import lsh_topk, random_planes
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10, planes=random_planes(4, 64))
+    q = e.filter(F.col("vec_id") < 5)
+    axis = lsh_topk(e, q, k=10, n_bits=4).select(F.lit("axis").alias("mode"), "*")
+    rand = lsh_topk(e, q, k=10, planes=random_planes(4, 64)).select(F.lit("rand").alias("mode"), "*")
+    return axis.unionByName(rand)
+
+
+PQ_M_SUB, PQ_K_CODES = 8, 16
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (Jégou et al. 2011): codebooks
+    fitted ONCE on the bounded ordered sample (fit_pq_codebooks_local —
+    bit-identical on both engines), corpus encoded to m_sub small ints in
+    one Arrow pass, then asymmetric-distance top-k where the scan reads
+    ONLY the code column — the billion-vector memory path. The DuckDB
+    twin embeds the same codebooks as nested DOUBLE literals (the ann_ivf
+    recipe), so encode + ADC are plain SQL and fully oracle-checked."""
+    _utc(spark)
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        fit_pq_codebooks_local,
+        pq_encode,
+        pq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = fit_pq_codebooks_local(
+        f"{sf_dir}/embeddings.parquet", m_sub=PQ_M_SUB, k_codes=PQ_K_CODES, iters=8
+    )
+    codes = pq_encode(e, books)
+    return pq_topk(codes, e.filter(F.col("vec_id") < 5), books, k=10)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,19 +508,36 @@ def q_grouping_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_ORACLE_COMPONENTS = 3
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """int8 embedding quantization round-trip error (storage path): per
-    vector, max abs error + mse of quantize->dequantize vs the original."""
+    """Tagged embedding post-processing check (storage + E6 whitening in
+    one slot): per vector, (a) int8 quantize->dequantize round-trip error
+    (max abs + mse) and (b) the first PCA-whitened components — the E6
+    whitener's math oracle-checked via a pure-SQL ascending-dim fold with
+    the FITTED mean/matrix inlined as literals (fit_pca_whitener_local:
+    bit-identical params on both engines; the production path applies the
+    same params via the Arrow batch-matmul UDF, parity pytest-pinned)."""
     _utc(spark)
+    from podcast_audio_feature_extraction_spark.functions.pca import (
+        fit_pca_whitener_local,
+        whiten_component_col,
+    )
     from podcast_audio_feature_extraction_spark.operators.similarity import dequantize_col, quantize_col
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     deq = dequantize_col(quantize_col(F.col("embedding")))
     errs = F.zip_with(deq, F.col("embedding").cast("array<double>"), lambda a, b: F.abs(a - b))
+    params = fit_pca_whitener_local(f"{sf_dir}/embeddings.parquet")
     return e.select(
         "vec_id",
         F.round(F.array_max(errs), 6).alias("max_abs_err"),
         F.round(F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x * x) / F.lit(64.0), 6).alias("mse"),
+        *[
+            (F.round(whiten_component_col("embedding", params, j), 6) + F.lit(0.0)).alias(f"pca_c{j}")
+            for j in range(PCA_ORACLE_COMPONENTS)
+        ],
     )
 
 
@@ -894,7 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
-        "ann_lsh_rand": q_ann_lsh_rand,
+        "ann_pq": q_ann_pq,
         "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1035,8 +1089,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "ann_bruteforce": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("brute"),
-        "ann_lsh": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh"),
-        "ann_lsh_rand": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh_rand"),
+        "ann_lsh": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh_union"),
+        "ann_pq": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _pq_sql(),
         "text_quality": _text_quality_sql(),
         "dedup_embedding": _embedding_near_dup_sql(),
         "dedup_embedding_lsh": _embedding_near_dup_lsh_sql(),
@@ -1225,12 +1279,19 @@ def _wf_multi_sql() -> str:
     from podcast_audio_feature_extraction_spark.operators.functionals import functional_grid_sql
 
     toks = "list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> '')"
+    txt = "COALESCE(text, '')"
+    tok_d = f"CAST(len({toks}) AS DOUBLE)"
+    chr_d = f"CAST(length({txt}) AS DOUBLE)"
     return (
         f""", __m AS (
             SELECT transcript.*,
-                   CAST(len({toks}) AS DOUBLE) AS tok,
-                   CAST(length(COALESCE(text, '')) AS DOUBLE) AS chr,
-                   CAST(tool IS NOT NULL AS INT)::DOUBLE AS tl
+                   {tok_d} AS tok,
+                   {chr_d} AS chr,
+                   CAST(tool IS NOT NULL AS INT)::DOUBLE AS tl,
+                   {chr_d} / greatest({tok_d}, 1.0) AS wlen,
+                   CAST(length({txt}) - length(regexp_replace({txt}, '[0-9]', '', 'g')) AS DOUBLE) AS dgt,
+                   CAST(length({txt}) - length(regexp_replace({txt}, '[A-Z]', '', 'g')) AS DOUBLE) AS upr,
+                   CAST(length({txt}) - length(regexp_replace({txt}, '[.,!?;:]', '', 'g')) AS DOUBLE) AS pnc
             FROM transcript
         ) """
         + functional_grid_sql(GRID_DESCRIPTORS, stats=GRID_STATS, length_s=120, hop_s=60, src="__m")
@@ -1278,9 +1339,24 @@ def _corpus_curation_sql() -> str:
 
 
 def _quantize_sql() -> str:
+    """Quantize + whitener twin: the whitener params come from the SAME
+    deterministic local fit as the Spark side (SPARK_GRAFT_ORACLE_SF at
+    oracle_sql() build time — the ann_ivf/ann_pq contract)."""
+    import os
+
+    from podcast_audio_feature_extraction_spark.functions.pca import (
+        fit_pca_whitener_local,
+        whiten_component_sql,
+    )
     from podcast_audio_feature_extraction_spark.operators.similarity import quantize_roundtrip_sql
 
-    return quantize_roundtrip_sql(dim=64, src="embeddings")
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    params = fit_pca_whitener_local(f"{sf_dir}/embeddings.parquet")
+    extra = {
+        f"pca_c{j}": f"round({whiten_component_sql('embedding', params, j)}, 6) + 0.0"
+        for j in range(PCA_ORACLE_COMPONENTS)
+    }
+    return quantize_roundtrip_sql(dim=64, src="embeddings", extra_exprs=extra)
 
 
 def _stratified_sample_sql() -> str:
@@ -1367,14 +1443,37 @@ def _ann_sql(kind: str) -> str:
     from podcast_audio_feature_extraction_spark.operators.similarity import (
         brute_force_topk_sql,
         lsh_topk_sql,
+        lsh_topk_union_sql,
         random_planes,
     )
 
     if kind == "brute":
         return brute_force_topk_sql(dim=64, k=10, src="embeddings")
-    if kind == "lsh_rand":
-        return lsh_topk_sql(dim=64, k=10, src="embeddings", planes=random_planes(4, 64))
+    if kind == "lsh_union":
+        return lsh_topk_union_sql(
+            dim=64, k=10, src="embeddings", n_bits=4, planes=random_planes(4, 64)
+        )
     return lsh_topk_sql(dim=64, k=10, src="embeddings", n_bits=4)
+
+
+def _pq_sql() -> str:
+    """PQ twin: codebooks fitted deterministically from the SAME parquet
+    the Spark query reads (pure DuckDB+numpy on an ordered sample, so both
+    sides get bit-identical codebooks) and embedded as nested DOUBLE
+    literals. Reads SPARK_GRAFT_ORACLE_SF at oracle_sql() build time —
+    same contract as the IVF twin."""
+    import os
+
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        fit_pq_codebooks_local,
+        pq_topk_sql,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    books = fit_pq_codebooks_local(
+        f"{sf_dir}/embeddings.parquet", m_sub=PQ_M_SUB, k_codes=PQ_K_CODES, iters=8
+    )
+    return pq_topk_sql(books, dim=64, k=10, src="embeddings")
 
 
 def _tokenize_pad_sql() -> str:

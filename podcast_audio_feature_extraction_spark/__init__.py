@@ -55,6 +55,7 @@ _API = {
     "lsh_topk": "operators.similarity",
     "ivf_topk": "operators.similarity",
     "fit_pq_codebooks": "operators.similarity",
+    "fit_pq_codebooks_local": "operators.similarity",
     "pq_encode": "operators.similarity",
     "pq_topk": "operators.similarity",
     "ivf_pq_topk": "operators.similarity",

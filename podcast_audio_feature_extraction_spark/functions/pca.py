@@ -41,6 +41,77 @@ def fit_pca_whitener(df: DataFrame, vec_col: str = "embedding", sample_rows: int
     return {"mean": mean, "matrix": w, "clip": clip}
 
 
+def fit_pca_whitener_local(
+    parquet_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    clip: float = 2.0,
+):
+    """Same whitener fit straight from a parquet file with DuckDB+numpy
+    (no Spark) — deterministic ordered-limit sample keyed on ``id_col``,
+    identical numpy math, so a Spark query and its DuckDB twin fitting
+    from the same file get bit-identical params (the
+    fit_ivf_centroids_local recipe applied to the whitener)."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM '{parquet_path}' ORDER BY {id_col} LIMIT {sample_rows}"
+    ).fetchdf()
+    con.close()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mean = x.mean(axis=0)
+    cov = np.cov(x - mean, rowvar=False, ddof=0)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    w = evecs @ np.diag(1.0 / np.sqrt(evals + 1e-8)) @ evecs.T
+    return {"mean": mean, "matrix": w, "clip": clip}
+
+
+def whiten_component_col(vec_col_name: str, params: dict, j: int) -> Column:
+    """Whitened component ``j`` as a PURE-SQL expression (mean + matrix
+    row inlined as double literals): y_j = clip(fold_i (x_i - mean_i) *
+    W[j,i]). The fold runs sequentially in ascending dimension order from
+    a 0.0 init — bit-identical to the DuckDB twin's list_reduce (BLAS
+    matmul order would not be). Stays in whole-stage codegen; the
+    pandas-UDF batch-matmul path (:func:`apply_pca_whitener`) remains the
+    throughput form, this is its oracle-checkable twin."""
+    mean = params["mean"]
+    w = params["matrix"][j]
+    clip = float(params["clip"])
+    means = ", ".join(f"{v:.17g}D" for v in mean)
+    ws = ", ".join(f"{v:.17g}D" for v in w)
+    y = (
+        f"aggregate(sequence(0, {len(w) - 1}), cast(0.0 as double), (acc, i) -> "
+        f"acc + (cast(element_at({vec_col_name}, i + 1) as double) - element_at(array({means}), i + 1))"
+        f" * element_at(array({ws}), i + 1))"
+    )
+    return F.expr(f"least(greatest({y}, {-clip:.17g}D), {clip:.17g}D)")
+
+
+def whiten_component_sql(vec_expr: str, params: dict, j: int) -> str:
+    """DuckDB twin of :func:`whiten_component_col` (same literals, same
+    ascending-dimension fold; 0.0 + e0 == e0 exactly, so the Spark 0-init
+    fold and list_reduce's first-element init agree)."""
+
+    def dlit(v) -> str:
+        s = f"{float(v):.17g}"
+        return s if any(c in s for c in ".eE") else s + ".0"
+
+    mean = params["mean"]
+    w = params["matrix"][j]
+    clip = float(params["clip"])
+    means = ", ".join(dlit(v) for v in mean)
+    ws = ", ".join(dlit(v) for v in w)
+    y = (
+        f"list_reduce(list_transform(range({len(w)}), i -> "
+        f"(CAST({vec_expr}[i+1] AS DOUBLE) - ([{means}])[i+1]) * ([{ws}])[i+1]), (a, b) -> a + b)"
+    )
+    return f"least(greatest({y}, {dlit(-clip)}), {dlit(clip)})"
+
+
 def apply_pca_whitener(df: DataFrame, params: dict, vec_col: str = "embedding", out_col: str = "whitened") -> DataFrame:
     """Executor-side whitening: broadcast params, batch matmul per Arrow
     batch, clip to [-clip, clip] (VGGishExtractor.py postprocess shape)."""

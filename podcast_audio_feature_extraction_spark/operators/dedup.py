@@ -20,6 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from podcast_audio_feature_extraction_spark.checkpoint import (
+    free_local_checkpoint as _free_local_checkpoint,
+)
+
 SHINGLE_K = 3
 
 
@@ -259,23 +263,6 @@ def simhash_pairs_sql(
     """
 
 
-def _free_local_checkpoint(ckpt_df: DataFrame) -> None:
-    """Release a localCheckpoint's block-manager storage.
-
-    ``DataFrame.unpersist()`` is a NO-OP for localCheckpoint output (it
-    only clears SQL-cache-manager entries; the checkpoint persists the
-    internal RDD directly — verified empirically via
-    ``sc.getPersistentRDDs``). The checkpointed DataFrame's analyzed
-    plan is a LogicalRDD wrapping exactly that RDD, so unpersist it.
-    Best-effort: if the internal accessor ever moves, leaking the old
-    behavior (checkpoints freed at session end) beats failing the job.
-    """
-    try:
-        ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
-
-
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -379,24 +366,14 @@ def dedup_clusters_star(
             .distinct()
         )
 
-    def _digest(edges: DataFrame) -> tuple:
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38) accumulator: a long sum of 64-bit hashes overflows
-            # under ANSI mode
-            F.sum(F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
     e = _sym(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     ).localCheckpoint()
     # seed with the initial checkpoint so round 1 frees it — it is the
     # full symmetrized edge set, the largest RDD in the job
     prev_ckpt = e
-    converged = e.limit(1).count() == 0  # no edges: all singletons
-    if not converged:
-        sig = _digest(e)
+    n_edges = e.count()
+    converged = n_edges == 0  # no edges: all singletons
     for _ in range(max_iters if not converged else 0):
         # LARGE-STAR: m(u) = min(N(u) + {u}); for v in N(u), v > u: (v, m)
         mins = (
@@ -421,14 +398,20 @@ def dedup_clusters_star(
             .unionByName(joined.select("src", F.col("m").alias("dst")))
         )
         new_e = _sym(ss).localCheckpoint()
-        new_sig = _digest(new_e)
+        # EXACT fixpoint check (a digest could collide and silently emit
+        # wrong clusters): counts first (cheap, usually differs while
+        # contracting), then set difference — both sides are distinct'd,
+        # so equal counts + empty except <=> equal edge sets. The except
+        # runs against the still-live previous checkpoint.
+        new_n = new_e.count()
+        same = new_n == n_edges and new_e.exceptAll(e).limit(1).count() == 0
         if prev_ckpt is not None:
             _free_local_checkpoint(prev_ckpt)
         prev_ckpt, e = new_e, new_e
-        if new_sig == sig:
+        n_edges = new_n
+        if same:
             converged = True
             break
-        sig = new_sig
     if not converged:
         raise RuntimeError(
             f"dedup_clusters_star did not converge within max_iters={max_iters}"

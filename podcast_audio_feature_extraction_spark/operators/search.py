@@ -23,7 +23,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from podcast_audio_feature_extraction_spark.checkpoint import (
+    free_local_checkpoint as _free_local_checkpoint,
+)
 from podcast_audio_feature_extraction_spark.functions.time import ts_micros as _ts_micros
+
+# the last bm25_topk_fused(reuse_seg=True) checkpoint, freed on the next
+# call (single-slot: the function is a serve-one-query path)
+_FUSED_SEG_CKPT: list = [None]
 
 
 def term_freq(tokens: Column, term: str) -> Column:
@@ -355,7 +362,15 @@ def bm25_topk_fused(
         # table is tiny (a few doubles per window), so materializing it in
         # the block manager is the production trade (set False to keep a
         # single pure plan, e.g. for plan-shape tests).
+        # unpersist() is a no-op on localCheckpoint output, so repeated
+        # calls in one long session would accumulate block-manager
+        # storage: free the PREVIOUS call's checkpoint before replacing it
+        # (the caller never holds the handle — the checkpoint only feeds
+        # the returned plan, and that plan is consumed before the next
+        # bm25_topk_fused call in any sane usage).
+        _free_local_checkpoint(_FUSED_SEG_CKPT[0])
         seg = seg.localCheckpoint()
+        _FUSED_SEG_CKPT[0] = seg
     stats_aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for f, pre in (("w", "__tfw"), ("d", "__tfd")):
         stats_aggs.append(F.avg(F.col(f"__dl_{f}")).alias(f"__avgdl_{f}"))

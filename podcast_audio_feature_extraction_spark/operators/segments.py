@@ -38,6 +38,15 @@ def build_segments(
     boolean-ish mood feature). Kept exact by default for reference parity
     and the DuckDB oracle."""
     win = F.window(F.col(ts_col), length, hop)
+    if skew_salts and not exact_speakers:
+        # the salted branch merges per-salt role SETS (array_distinct over
+        # flattened partials) — necessarily exact; HLL sketches can't be
+        # merged through collect_list. Silently computing the more
+        # expensive exact plan would hide the config conflict.
+        raise ValueError(
+            "build_segments: exact_speakers=False is not supported with skew_salts "
+            "(salt partials merge role sets exactly); drop one of the two flags"
+        )
     if skew_salts:
         # Viral-conversation guard: collect_list is holistic, so a hot
         # (conv, window) group's whole text buffer lands on one reducer.

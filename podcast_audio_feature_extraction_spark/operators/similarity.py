@@ -258,6 +258,22 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def _sub_dists(xs, book):
+    """(n, k) squared L2 distances of subvectors ``xs`` (n, sub) to a
+    subspace codebook (k, sub), accumulated PER DIMENSION IN ASCENDING
+    ORDER — not a BLAS/pairwise sum. The DuckDB twin folds
+    ``list_reduce`` over dims sequentially, and a different summation
+    order can flip near-tied code assignments in the last ulp (same rule
+    as the IVF assignment UDF)."""
+    import numpy as np
+
+    d = np.zeros((xs.shape[0], book.shape[0]))
+    for i in range(xs.shape[1]):
+        diff = xs[:, i : i + 1] - book[None, :, i]
+        d += diff * diff
+    return d
+
+
 def fit_pq_codebooks(
     emb: DataFrame,
     m_sub: int = 8,
@@ -281,6 +297,43 @@ def fit_pq_codebooks(
     import numpy as np
 
     pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    d = x.shape[1]
+    if d % m_sub:
+        raise ValueError(f"embedding dim {d} not divisible by m_sub={m_sub}")
+    sub = d // m_sub
+    return np.stack(
+        [
+            _kmeans_core(np.ascontiguousarray(x[:, m * sub : (m + 1) * sub]), k_codes, iters, seed + m)
+            for m in range(m_sub)
+        ]
+    )
+
+
+def fit_pq_codebooks_local(
+    parquet_path: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 20_000,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Same PQ codebook fit straight from a parquet file with DuckDB+numpy
+    (no Spark) — the ordered-limit sample matches :func:`fit_pq_codebooks`
+    exactly, so both paths yield bit-identical codebooks. This is how the
+    DuckDB twin of the PQ query gets the codebooks as plain literals
+    (encode + ADC scoring are then ordinary SQL) — the same recipe as
+    :func:`fit_ivf_centroids_local`."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM '{parquet_path}' ORDER BY {id_col} LIMIT {sample_rows}"
+    ).fetchdf()
+    con.close()
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     d = x.shape[1]
     if d % m_sub:
@@ -323,10 +376,10 @@ def pq_encode(
             )
         codes = np.empty((len(x), m_sub), dtype=np.int32)
         for m in range(m_sub):
-            xs = x[:, m * sub : (m + 1) * sub]
-            # (n, k) squared distances to this subspace's codebook
-            d = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-            codes[:, m] = d.argmin(axis=1)
+            # per-dim ascending accumulation (oracle fold parity); argmin
+            # takes the FIRST minimum = the lowest-code-id tie rule the
+            # twin's list_position(dl, list_min(dl)) uses
+            codes[:, m] = _sub_dists(x[:, m * sub : (m + 1) * sub], books[m]).argmin(axis=1)
         return pd.Series([row.tolist() for row in codes])
 
     return emb.withColumn(out_col, encode(F.col(vec_col)))
@@ -362,11 +415,9 @@ def pq_topk(
     q_ids = qpdf[id_col].tolist()
     qx = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
     # (n_q, m_sub, k_codes) exact subspace distances: the ADC LUTs
+    # (per-dim ascending accumulation — oracle fold parity)
     luts = np.stack(
-        [
-            ((qx[:, m * sub : (m + 1) * sub][:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-            for m in range(m_sub)
-        ],
+        [_sub_dists(qx[:, m * sub : (m + 1) * sub], books[m]) for m in range(m_sub)],
         axis=1,
     )
 
@@ -441,12 +492,9 @@ def ivf_pq_topk(
         raise ValueError("ivf_pq_topk: empty query set")
     qx = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
     luts = np.stack(
-        [
-            ((qx[:, m * sub : (m + 1) * sub][:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-            for m in range(m_sub)
-        ],
+        [_sub_dists(qx[:, m * sub : (m + 1) * sub], books[m]) for m in range(m_sub)],
         axis=1,
-    )  # (n_q, m_sub, k_codes)
+    )  # (n_q, m_sub, k_codes) — per-dim accumulation, oracle fold parity
     # probe assignment computed driver-side in numpy from the SAME qpdf
     # snapshot the LUTs came from — a second Spark evaluation of `queries`
     # could return different rows for non-deterministic inputs and pair a
@@ -507,9 +555,17 @@ def dequantize_col(qvec: Column, lo: float = -1.0, hi: float = 1.0, levels: int 
     return F.transform(qvec, lambda q: q.cast("double") * F.lit(step) + F.lit(lo))
 
 
-def quantize_roundtrip_sql(dim: int, lo: float = -1.0, hi: float = 1.0, levels: int = 256, src: str = "embeddings") -> str:
+def quantize_roundtrip_sql(
+    dim: int,
+    lo: float = -1.0,
+    hi: float = 1.0,
+    levels: int = 256,
+    src: str = "embeddings",
+    extra_exprs: dict[str, str] | None = None,
+) -> str:
     """DuckDB twin of the quantize->dequantize error query (scalar outputs:
-    per-vector max abs error + mse)."""
+    per-vector max abs error + mse). ``extra_exprs`` appends additional
+    ``expr AS name`` columns (e.g. the PCA-whitened components)."""
     scale = (levels - 1) / (hi - lo)
     step = (hi - lo) / (levels - 1)
     q = (
@@ -517,10 +573,13 @@ def quantize_roundtrip_sql(dim: int, lo: float = -1.0, hi: float = 1.0, levels: 
     )
     err = f"abs(({q} * {step} + {lo}) - CAST(embedding[i+1] AS DOUBLE))"
     errs = f"list_transform(range({dim}), i -> {err})"
+    extra = "".join(
+        f",\n               {expr} AS {name}" for name, expr in (extra_exprs or {}).items()
+    )
     return f"""
         SELECT vec_id,
                round(list_max({errs}), 6) AS max_abs_err,
-               round(list_sum(list_transform({errs}, e -> e * e)) / {dim}, 6) AS mse
+               round(list_sum(list_transform({errs}, e -> e * e)) / {dim}, 6) AS mse{extra}
         FROM {src}
     """
 
@@ -640,6 +699,80 @@ def ivf_topk_sql(
     """
 
 
+def _dlit(v) -> str:
+    """A float literal DuckDB is guaranteed to type as DOUBLE (a bare
+    integer-looking %.17g like '0' would make the whole list INTEGER[])."""
+    s = f"{float(v):.17g}"
+    return s if any(c in s for c in ".eE") else s + ".0"
+
+
+def pq_topk_sql(
+    codebooks,
+    dim: int,
+    k: int = 10,
+    src: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB twin of :func:`pq_encode` + :func:`pq_topk` with the fitted
+    codebooks embedded as a nested DOUBLE[][][] LITERAL (full float64
+    round-trip via %.17g) — the ann_ivf recipe applied to PQ: given fixed
+    codebooks, encode (per-subspace argmin) and ADC scoring (sum of
+    per-subspace distances to the selected centroid) are plain SQL.
+
+    Float-parity contract with the Spark side: every squared-distance sum
+    is a SEQUENTIAL ascending-dimension fold (list_reduce == the per-dim
+    numpy accumulation in ``_sub_dists``), code ties take the lowest code
+    id (list_position-of-min == numpy first-argmin), adc_dist rounds to
+    9 digits on both sides, top-k ties break by c_id ascending."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_sub, k_codes, sub = books.shape
+    if m_sub * sub != dim:
+        raise ValueError(f"codebooks cover {m_sub * sub} dims, expected {dim}")
+    lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(_dlit(v) for v in books[m][j]) + "]" for j in range(k_codes)) + "]"
+            for m in range(m_sub)
+        )
+        + "]"
+    )
+
+    def subdist(vec: str, m: str, j: str) -> str:
+        term = f"(CAST({vec}[({m}) * {sub} + i + 1] AS DOUBLE) - bks[({m}) + 1][({j}) + 1][i + 1])"
+        return f"list_reduce(list_transform(range({sub}), i -> {term} * {term}), (a, b) -> a + b)"
+
+    # bind the per-subspace distance list via the single-element
+    # list_transform trick (DuckDB lambdas have no let):
+    code_expr = (
+        f"list_transform(range({m_sub}), m -> "
+        f"list_transform([list_transform(range({k_codes}), j -> {subdist('embedding', 'm', 'j')})], "
+        f"dl -> CAST(list_position(dl, list_min(dl)) - 1 AS INT))[1])"
+    )
+    adc = (
+        f"list_reduce(list_transform(range({m_sub}), m -> "
+        f"{subdist('q.q_vec', 'm', 'c.codes[m + 1]')}), (a, b) -> a + b)"
+    )
+    return f"""
+        , __bk AS (SELECT {lit} AS bks),
+        __codes AS (
+            SELECT vec_id AS c_id, {code_expr} AS codes
+            FROM {src} CROSS JOIN __bk
+        ),
+        __q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM {src} WHERE {query_pred}),
+        __scored AS (
+            SELECT q.q_id, c.c_id, round({adc}, 9) AS adc_dist
+            FROM __codes c CROSS JOIN __q q CROSS JOIN __bk
+            WHERE c.c_id <> q.q_id
+        )
+        SELECT q_id, c_id, adc_dist, rk FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS INT) AS rk
+            FROM __scored
+        ) WHERE rk <= {k}
+    """
+
+
 def _cos_sql(a: str, b: str, dim: int) -> str:
     def dot(x, y):
         return (
@@ -665,6 +798,42 @@ def brute_force_topk_sql(dim: int, k: int = 10, src: str = "embeddings", query_p
     """
 
 
+def _lsh_parts(
+    dim: int,
+    k: int,
+    src: str,
+    query_pred: str,
+    n_bits: int,
+    planes,
+    prefix: str = "",
+) -> tuple[str, str]:
+    """(CTE fragment without leading comma, final SELECT) for one LSH
+    variant; ``prefix`` uniquifies CTE names so two variants can share a
+    WITH clause (the tagged-union oracle)."""
+    if planes is not None:
+        bucket = plane_bucket_sql("embedding", planes, dim)
+    else:
+        bucket = (
+            f"CAST(list_sum(list_transform(range({n_bits}), i -> "
+            f"CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+        )
+    p = prefix
+    ctes = f"""
+        __{p}qb AS (SELECT vec_id AS q_id, embedding AS q_vec, {bucket} AS bucket FROM {src} WHERE {query_pred}),
+        __{p}cb AS (SELECT vec_id AS c_id, embedding AS c_vec, {bucket} AS bucket FROM {src}),
+        __{p}scored AS (
+            SELECT q.q_id, c.c_id, {_cos_sql("q.q_vec", "c.c_vec", dim)} AS cos
+            FROM __{p}cb c JOIN __{p}qb q USING (bucket) WHERE c.c_id <> q.q_id
+        )"""
+    sel = f"""
+        SELECT q_id, c_id, cos, rk FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rk
+            FROM __{p}scored
+        ) WHERE rk <= {k}
+    """
+    return ctes, sel
+
+
 def lsh_topk_sql(
     dim: int,
     k: int = 10,
@@ -673,22 +842,25 @@ def lsh_topk_sql(
     n_bits: int = 8,
     planes=None,
 ) -> str:
-    if planes is not None:
-        bucket = plane_bucket_sql("embedding", planes, dim)
-    else:
-        bucket = (
-            f"CAST(list_sum(list_transform(range({n_bits}), i -> "
-            f"CASE WHEN embedding[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
-        )
-    return f"""
-        , __qb AS (SELECT vec_id AS q_id, embedding AS q_vec, {bucket} AS bucket FROM {src} WHERE {query_pred}),
-        __cb AS (SELECT vec_id AS c_id, embedding AS c_vec, {bucket} AS bucket FROM {src}),
-        __scored AS (
-            SELECT q.q_id, c.c_id, {_cos_sql("q.q_vec", "c.c_vec", dim)} AS cos
-            FROM __cb c JOIN __qb q USING (bucket) WHERE c.c_id <> q.q_id
-        )
-        SELECT q_id, c_id, cos, rk FROM (
-            SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rk
-            FROM __scored
-        ) WHERE rk <= {k}
-    """
+    ctes, sel = _lsh_parts(dim, k, src, query_pred, n_bits, planes)
+    return ", " + ctes + " " + sel
+
+
+def lsh_topk_union_sql(
+    dim: int,
+    k: int = 10,
+    src: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+    n_bits: int = 8,
+    planes=None,
+) -> str:
+    """Tagged-union twin of BOTH sign-LSH modes in one result frame:
+    mode='axis' (leading-dim sign bits) UNION ALL mode='rand' (random
+    hyperplanes) — the one-driver-slot form of the ann_lsh family."""
+    a_ctes, a_sel = _lsh_parts(dim, k, src, query_pred, n_bits, None, prefix="ax_")
+    r_ctes, r_sel = _lsh_parts(dim, k, src, query_pred, n_bits, planes, prefix="rd_")
+    return (
+        f", {a_ctes}, {r_ctes} "
+        f"SELECT 'axis' AS mode, * FROM ({a_sel}) "
+        f"UNION ALL SELECT 'rand' AS mode, * FROM ({r_sel})"
+    )

@@ -96,19 +96,31 @@ ASOF_STATE_SCHEMA = T.StructType(
         T.StructField("feat_ts_us", T.LongType()),
         T.StructField("feat_turn_idx", T.IntegerType()),
         T.StructField("functionals", T.ArrayType(T.DoubleType())),
+        # watermark of what this key has already processed: a later batch
+        # starting BELOW it means the source violated the cross-batch
+        # (ts, turn_idx) ordering contract -> fail loud, never emit a
+        # silently-leaky enrichment
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_idx", T.IntegerType()),
     ]
 )
 
 
-def _make_asof_fold(inclusive: bool, tolerance_s: float | None):
+def _make_asof_fold(inclusive: bool, tolerance_s: float | None, ttl_ms: int | None = None):
     tol_us = None if tolerance_s is None else int(tolerance_s * 1_000_000)
 
     def fold(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState) -> "Iterator[pd.DataFrame]":
         (conv_id,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            # conversation idle past the TTL: drop its state (bounds total
+            # state over conversation cardinality; a late revival simply
+            # re-enriches from scratch, i.e. nulls until the next feature)
+            state.remove()
+            return
         if state.exists:
-            feat_us, feat_idx, feats = state.get
+            feat_us, feat_idx, feats, last_us, last_idx = state.get
         else:
-            feat_us, feat_idx, feats = None, None, None
+            feat_us, feat_idx, feats, last_us, last_idx = None, None, None, None, None
         # a big group arrives as SEVERAL Arrow chunks in one micro-batch —
         # sorting each independently would let a later chunk's older
         # feature overwrite newer state AND hide features from earlier
@@ -128,6 +140,17 @@ def _make_asof_fold(inclusive: bool, tolerance_s: float | None):
             turn_idx = pdf["turn_idx"].to_numpy()
             ts_vals = pdf["ts"].to_numpy()
             funcs = pdf["functionals"].tolist()
+            if last_us is not None and (int(us[0]), int(turn_idx[0])) < (last_us, last_idx):
+                raise ValueError(
+                    f"stateful_asof_enrich: ordering contract violated for conv_id="
+                    f"{conv_id!r} — batch starts at (ts_us={int(us[0])}, "
+                    f"turn_idx={int(turn_idx[0])}) but (ts_us={last_us}, "
+                    f"turn_idx={last_idx}) was already processed; a late row would "
+                    "silently produce leaky/missing enrichments. Fix the source "
+                    "partitioning (it must deliver per-conv rows in (ts, turn_idx) "
+                    "order across micro-batches)."
+                )
+            last_us, last_idx = int(us[-1]), int(turn_idx[-1])
             rows: dict[str, list] = {k: [] for k in ("turn_idx", "ts", "feat_turn_idx", "functionals")}
             for i in range(len(pdf)):
                 if sides[i] == "f":
@@ -140,16 +163,20 @@ def _make_asof_fold(inclusive: bool, tolerance_s: float | None):
                 rows["functionals"].append(feats if fresh else None)
             if rows["turn_idx"]:
                 yield pd.DataFrame({"conv_id": conv_id, **rows})
-        if feat_us is not None:
+        if feat_us is not None or last_us is not None:
             # state travels through the pickle path (not Arrow): numpy
             # scalars/arrays must be coerced to pure-Python types
             state.update(
                 (
-                    int(feat_us),
+                    None if feat_us is None else int(feat_us),
                     None if feat_idx is None else int(feat_idx),
                     None if feats is None else [float(x) for x in feats],
+                    None if last_us is None else int(last_us),
+                    None if last_idx is None else int(last_idx),
                 )
             )
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
 
     return fold
 
@@ -158,6 +185,7 @@ def stateful_asof_enrich(
     tagged: DataFrame,
     inclusive: bool = True,
     tolerance_s: float | None = None,
+    state_ttl_s: float | None = None,
 ) -> DataFrame:
     """Low-latency streaming as-of (the sub-second sibling of the
     micro-batch ``enrich_stream_with_features``): ONE co-partitioned
@@ -169,18 +197,34 @@ def stateful_asof_enrich(
 
     Ordering contract: rows arrive in (ts, turn_idx) order per conv_id
     ACROSS micro-batches (time-partitioned source); intra-batch disorder
-    is tolerated (sorted before folding). ``tolerance_s`` nulls out stale
-    features exactly like the batch operators.
+    is tolerated (sorted before folding). The contract is VALIDATED: the
+    state tracks the last processed (ts, turn_idx) per key and a batch
+    regressing below it raises instead of silently emitting leaky
+    enrichments. ``tolerance_s`` nulls out stale features exactly like
+    the batch operators.
+
+    ``state_ttl_s`` bounds state over conversation cardinality: a key
+    idle longer than the TTL (processing time) is evicted; a late revival
+    re-enriches from scratch (nulls until its next feature row). Leave
+    None for the strict keep-forever contract. NOTE: timeouts require a
+    processing-time-triggered CONTINUOUS query — under
+    ``trigger(availableNow=True)`` the timeout bookkeeping keeps the
+    query from terminating, so leave the TTL off for drain-style runs
+    (measured on Spark 4.1: the availableNow query hangs, it does not
+    error).
     """
+    ttl_ms = None if state_ttl_s is None else int(state_ttl_s * 1000)
     return (
         tagged.select("conv_id", "turn_idx", "ts", "side", "functionals")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_asof_fold(inclusive, tolerance_s),
+            _make_asof_fold(inclusive, tolerance_s, ttl_ms),
             outputStructType=ASOF_OUTPUT_SCHEMA,
             stateStructType=ASOF_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

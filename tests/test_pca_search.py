@@ -162,3 +162,51 @@ def test_bm25_fused_matches_segment_form(spark, transcripts_sdf):
             .toPandas().sort_values("seg_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(fused, seg_form)
+
+
+def test_bm25_fused_frees_previous_checkpoint(spark, transcripts_sdf):
+    """Repeated bm25_topk_fused(reuse_seg=True) calls in one session must
+    not accumulate block-manager storage (unpersist is a no-op on
+    localCheckpoint output; the operator frees its previous checkpoint)."""
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk_fused
+
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for _ in range(3):
+        bm25_topk_fused(transcripts_sdf, "click error", k=10).count()
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # at most the single live slot survives, never one per call
+    assert n_after - n_before <= 1, (n_before, n_after)
+
+
+def test_whiten_component_col_matches_udf_path(spark):
+    """The oracle-checkable pure-SQL whitening fold must agree with the
+    production Arrow batch-matmul UDF (same params, different summation
+    order -> compare to 1e-9 relative, not bitwise)."""
+    import numpy as np
+
+    from podcast_audio_feature_extraction_spark.functions.pca import (
+        apply_pca_whitener,
+        fit_pca_whitener,
+        whiten_component_col,
+    )
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": [rng.standard_normal(8).tolist() for _ in range(50)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    params = fit_pca_whitener(sdf, sample_rows=50)
+    via_udf = (
+        apply_pca_whitener(sdf, params)
+        .select("vec_id", F.element_at("whitened", 1).alias("c0"))
+        .toPandas()
+        .sort_values("vec_id")["c0"]
+        .to_numpy()
+    )
+    via_sql = (
+        sdf.select("vec_id", whiten_component_col("embedding", params, 0).alias("c0"))
+        .toPandas()
+        .sort_values("vec_id")["c0"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(via_sql, via_udf, rtol=1e-9, atol=1e-12)

@@ -256,3 +256,15 @@ def test_build_segments_salted_matches_unsalted(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(salted, plain, check_dtype=False)
+
+
+def test_build_segments_rejects_approx_speakers_with_salts(spark, transcripts_sdf):
+    """exact_speakers=False + skew_salts is a config conflict (salt
+    partials merge role sets exactly) — must fail loud, not silently plan
+    the more expensive exact form."""
+    import pytest
+
+    from podcast_audio_feature_extraction_spark.operators.segments import build_segments
+
+    with pytest.raises(ValueError, match="exact_speakers"):
+        build_segments(transcripts_sdf, exact_speakers=False, skew_salts=8)

@@ -188,3 +188,102 @@ def test_stateful_asof_tolerance_nulls_stale_features(spark, tmp_path):
     assert got.loc[0, "functionals"] is not None and list(got.loc[0, "functionals"]) == [1.0]
     assert got.loc[1, "functionals"] is None or pd.isna(got.loc[1, "functionals"])
     assert list(got.loc[2, "functionals"]) == [2.0]
+
+
+def test_stateful_asof_ordering_violation_raises(spark, tmp_path):
+    """A micro-batch regressing below the key's processed (ts, turn_idx)
+    watermark violates the cross-batch ordering contract — the fold must
+    raise (silently folding it would produce leaky/missing enrichments)."""
+    import pandas as pd
+    import pyspark.sql.utils
+    import pytest
+    from pyspark.sql import types as T
+
+    from podcast_audio_feature_extraction_spark.streaming.stateful import stateful_asof_enrich
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("side", T.StringType(), False),
+            T.StructField("functionals", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    in_dir = tmp_path / "ooo_in"
+    in_dir.mkdir()
+    b0 = [("c", 0, pd.Timestamp(100, unit="s"), "f", [1.0]),
+          ("c", 1, pd.Timestamp(200, unit="s"), "q", None)]
+    b1 = [("c", 2, pd.Timestamp(150, unit="s"), "q", None)]  # regression
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=schema.names), schema=schema
+        ).coalesce(1).write.parquet(str(in_dir / f"batch_{i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/batch_*")
+    )
+    q = (
+        stateful_asof_enrich(stream)
+        .writeStream.format("memory").queryName("ooo_asof")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="ordering contract violated"):
+        q.awaitTermination()
+
+
+def test_stateful_asof_ttl_fold_branches():
+    """The TTL fold branches, unit-tested against a fake GroupState (a
+    ProcessingTimeTimeout query only terminates under a processing-time
+    trigger, so the streaming-e2e form is exercised in continuous runs,
+    not under availableNow — see the operator docstring):
+    - a timed-out invocation removes state and emits nothing;
+    - a live batch sets the timeout duration after updating state."""
+    import pandas as pd
+
+    from podcast_audio_feature_extraction_spark.streaming.stateful import _make_asof_fold
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self.removed = False
+            self.updated = None
+            self.timeout_ms = None
+
+        @property
+        def get(self):
+            raise AssertionError("get on non-existent state")
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fold = _make_asof_fold(True, None, ttl_ms=60_000)
+
+    timed_out = FakeState()
+    timed_out.hasTimedOut = True
+    assert list(fold(("c",), iter([]), timed_out)) == []
+    assert timed_out.removed
+
+    live = FakeState()
+    batch = pd.DataFrame(
+        {
+            "conv_id": ["c", "c"],
+            "turn_idx": [0, 1],
+            "ts": [pd.Timestamp(100, unit="s"), pd.Timestamp(130, unit="s")],
+            "side": ["f", "q"],
+            "functionals": [[3.0], None],
+        }
+    )
+    out = pd.concat(list(fold(("c",), iter([batch]), live)), ignore_index=True)
+    assert list(out["turn_idx"]) == [1] and list(out.loc[0, "functionals"]) == [3.0]
+    assert live.timeout_ms == 60_000
+    # state carries (feat..., watermark) — 5 fields
+    assert len(live.updated) == 5 and live.updated[3] == 130_000_000
