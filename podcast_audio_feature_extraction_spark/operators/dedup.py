@@ -44,6 +44,11 @@ def shingles_col(text_col: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+# the last minhash_lsh_pairs shingle-table checkpoint, freed on the next
+# call (single-slot, same lifecycle as search._FUSED_SEG_CKPT)
+_MINHASH_CKPT: list = [None]
+
+
 def minhash_col(shingles: Column, n_hashes: int = 12) -> Column:
     """n_hashes permutations approximated by seed-prefixed md5; the
     lexicographic min over hex digests is a valid uniform minhash."""
@@ -78,6 +83,7 @@ def minhash_lsh_pairs(
     band_size: int = 3,
     jaccard_threshold: float = 0.2,
     max_bucket: int | None = 2000,
+    reuse_table: bool = True,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified by exact shingle Jaccard.
 
@@ -90,12 +96,22 @@ def minhash_lsh_pairs(
     buckets are skew outliers by construction (near-identical
     boilerplate); route them to exact dedup. Pass ``max_bucket=None``
     EXPLICITLY for the uncapped mode (CI parity with the all-pairs
-    oracle)."""
+    oracle).
+
+    ``reuse_table`` materializes the (doc_id, shingles, minhashes) table
+    before the band self-join: both sides would otherwise re-derive the
+    md5-heavy shingle+minhash subtree (n_hashes+1 md5 passes over every
+    token). Single-slot checkpoint, previous call's freed — the stored
+    shingle-table shape a cluster deployment would use."""
     n_bands = n_hashes // band_size
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col)).alias("shingles"),
     ).withColumn("minhashes", minhash_col(F.col("shingles"), n_hashes))
+    if reuse_table:
+        _free_local_checkpoint(_MINHASH_CKPT[0])
+        docs = docs.localCheckpoint()
+        _MINHASH_CKPT[0] = docs
 
     bands = docs.select(
         "doc_id",
@@ -200,8 +216,31 @@ def simhash_col(text_col_name: str, bits: int = 60) -> Column:
     )
 
 
-def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(F.col(id_col).alias("doc_id"), simhash_col(text_col).alias("simhash"))
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
+    """Two-projection form: the per-token 60-bit hash ARRAY is computed
+    once into a real column, then the 60-bit fold only does bit tests
+    over it. Inlining the hash expression into the fold (the naive
+    :func:`simhash_col` composition) would md5 every token once per bit
+    — measured 8.4 s -> this form at sf0.01 (CollapseProject leaves the
+    multi-referenced non-cheap alias un-inlined, verified via timing)."""
+    toks = f"filter(split(coalesce({text_col}, ''), '\\\\s+'), x -> x != '')"
+    hashes = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    pre = df.select(F.col(id_col).alias("doc_id"), F.expr(hashes).alias("__h"))
+    bit_j = (
+        "CASE WHEN 2 * size(filter(__h, h -> (shiftright(h, j) & 1) = 1)) > size(__h) "
+        "THEN cast(1 as bigint) ELSE cast(0 as bigint) END"
+    )
+    return pre.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + shiftleft({bit_j}, j))"
+        ).alias("simhash"),
+    )
+
+
+# the last simhash_pairs fingerprint checkpoint, freed on the next call
+# (single-slot, same lifecycle as search._FUSED_SEG_CKPT)
+_SIMHASH_CKPT: list = [None]
 
 
 def simhash_pairs(
@@ -210,12 +249,26 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 24,
     prefix_bits: int = 12,
+    reuse_table: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
-    (LSH-style bucketing), verify hamming distance on the full hash."""
+    (LSH-style bucketing), verify hamming distance on the full hash.
+
+    ``reuse_table`` materializes the fingerprint table (doc_id, simhash,
+    bucket — one long per doc, tiny) before the self-join: both join
+    sides would otherwise re-derive the whole 60-bit fold subtree, and
+    the optimizer's subtree handling around the self-join re-evaluated
+    it far more than twice (measured 7.0 s -> 0.17 s at sf0.01). On a
+    cluster this is the stored-fingerprint-table shape. The previous
+    call's checkpoint is freed (unpersist is a no-op on localCheckpoint
+    output)."""
     sh = simhash_table(df, id_col, text_col).withColumn(
         "bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits)
     )
+    if reuse_table:
+        _free_local_checkpoint(_SIMHASH_CKPT[0])
+        sh = sh.localCheckpoint()
+        _SIMHASH_CKPT[0] = sh
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "bucket")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "bucket")
     return (
@@ -229,17 +282,19 @@ def simhash_pairs(
 
 def simhash_sql(src: str = "documents", id_col: str = "doc_id", bits: int = 60) -> str:
     """DuckDB twin of :func:`simhash_table` (fragment: `, __sh AS (...)` tail
-    included by callers)."""
+    included by callers). Same two-step shape: hash array once in a
+    subquery, bit fold over the materialized column."""
     return f"""
-        SELECT {id_col} AS doc_id,
+        SELECT doc_id,
                CAST(list_sum(list_transform(range({bits}), j ->
-                   CASE WHEN 2 * len(list_filter(
-                            list_transform(list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> ''),
-                                           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)),
-                            h -> (h >> j) & 1 = 1))
-                          > len(list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> ''))
+                   CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
                         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
-        FROM {src}
+        FROM (
+            SELECT {id_col} AS doc_id,
+                   list_transform(list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), x -> x <> ''),
+                                  t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS h
+            FROM {src}
+        )
     """
 
 

@@ -81,3 +81,32 @@ def test_incremental_feature_build_matches_full_rebuild(spark, transcripts_pdf):
     import pandas as pd_mod
 
     pd_mod.testing.assert_frame_equal(inc, full)
+
+
+def test_incremental_build_never_recomputes_untouched_side(spark, transcripts_sdf):
+    """Plan assertion for the delta build: feature computation (windows +
+    the Arrow embedding UDF) must appear ONLY on the rebuilt (touched)
+    side — the kept side is a stored-table scan + broadcast anti-join.
+    If the anti-join pruning regressed, the untouched side would re-run
+    the feature subtree and these node counts would double."""
+    from pyspark.sql import functions as F
+
+    from podcast_audio_feature_extraction_spark.plans.backfill import (
+        build_feature_table,
+        build_feature_table_incremental,
+    )
+
+    stored = build_feature_table(transcripts_sdf).localCheckpoint()
+    delta = transcripts_sdf.filter(F.crc32(F.col("conv_id")) % 7 == 0)
+
+    def counts(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Window"), plan.count("ArrowEvalPython"), plan.count("BroadcastHashJoin")
+
+    full_w, full_arrow, _ = counts(build_feature_table(transcripts_sdf))
+    inc_w, inc_arrow, inc_bcast = counts(
+        build_feature_table_incremental(transcripts_sdf, delta, stored)
+    )
+    assert inc_w == full_w, (inc_w, full_w)          # windows only on the rebuilt side
+    assert inc_arrow == full_arrow == 1              # ONE embedding UDF pass total
+    assert inc_bcast >= 2                            # broadcast semi (rebuild) + anti (kept)
