@@ -292,3 +292,35 @@ def test_dedup_clusters_star_matches_min_label(spark):
     empty = spark.createDataFrame(pd.DataFrame({"doc_a": [], "doc_b": []}), "doc_a long, doc_b long")
     singles = dedup_clusters_star(docs, empty).toPandas()
     assert (singles["is_keeper"] == 1).all() and (singles["cluster_id"] == singles["doc_id"]).all()
+
+
+def test_pair_dedup_reuse_table_matches_pure_plan(spark):
+    """The stored-table (localCheckpoint) self-join form must produce
+    exactly the pure-plan results for both minhash and simhash pairs."""
+    from podcast_audio_feature_extraction_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                "the quick brown fox jumps over the lazy dog near the river bank " + ("again " * (i % 4))
+                for i in range(40)
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+
+    def canon(out):
+        return out.toPandas().sort_values(list(out.columns)).reset_index(drop=True)
+
+    for fn, kwargs in (
+        (minhash_lsh_pairs, {"jaccard_threshold": 0.2}),
+        (simhash_pairs, {"max_hamming": 30}),
+    ):
+        a = canon(fn(df, reuse_table=True, **kwargs))
+        b = canon(fn(df, reuse_table=False, **kwargs))
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0, fn.__name__
