@@ -84,11 +84,18 @@ def test_incremental_feature_build_matches_full_rebuild(spark, transcripts_pdf):
 
 
 def test_incremental_build_never_recomputes_untouched_side(spark, transcripts_sdf):
-    """Plan assertion for the delta build: feature computation (windows +
-    the Arrow embedding UDF) must appear ONLY on the rebuilt (touched)
-    side — the kept side is a stored-table scan + broadcast anti-join.
-    If the anti-join pruning regressed, the untouched side would re-run
-    the feature subtree and these node counts would double."""
+    """Plan assertions for the delta build, BOTH pruning forms:
+
+    - feature computation (windows + the Arrow embedding UDF) appears
+      ONLY on the rebuilt (touched) side — if the pruning regressed, the
+      untouched side would re-run the feature subtree and the node
+      counts would double;
+    - default (small touched set): the collected conv_id list becomes an
+      In-PREDICATE that pushes through the derivation's Window, so only
+      touched rows reach the feature shuffle (a join cannot move below
+      the Window);
+    - collect_filter_threshold=0 (unbounded form): broadcast semi + anti
+      joins instead."""
     from pyspark.sql import functions as F
 
     from podcast_audio_feature_extraction_spark.plans.backfill import (
@@ -101,12 +108,23 @@ def test_incremental_build_never_recomputes_untouched_side(spark, transcripts_sd
 
     def counts(df):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        return plan.count("Window"), plan.count("ArrowEvalPython"), plan.count("BroadcastHashJoin")
+        return plan.count("Window"), plan.count("ArrowEvalPython"), plan.count("BroadcastHashJoin"), plan
 
-    full_w, full_arrow, _ = counts(build_feature_table(transcripts_sdf))
-    inc_w, inc_arrow, inc_bcast = counts(
+    full_w, full_arrow, _, _ = counts(build_feature_table(transcripts_sdf))
+
+    inc_w, inc_arrow, inc_bcast, inc_plan = counts(
         build_feature_table_incremental(transcripts_sdf, delta, stored)
     )
     assert inc_w == full_w, (inc_w, full_w)          # windows only on the rebuilt side
     assert inc_arrow == full_arrow == 1              # ONE embedding UDF pass total
-    assert inc_bcast >= 2                            # broadcast semi (rebuild) + anti (kept)
+    assert inc_bcast == 0                            # predicate form: no joins at all
+    # the In-predicate sits BELOW the Window (pushed through the
+    # derivation): the filter on the scan side precedes the first Window
+    assert " IN " in inc_plan or " INSET " in inc_plan.upper(), inc_plan[:500]
+    assert inc_plan.index("Filter"), "expected a pushed Filter in the rebuilt subtree"
+
+    j_w, j_arrow, j_bcast, _ = counts(
+        build_feature_table_incremental(transcripts_sdf, delta, stored, collect_filter_threshold=0)
+    )
+    assert j_w == full_w and j_arrow == 1
+    assert j_bcast >= 2                              # broadcast semi (rebuild) + anti (kept)
