@@ -374,6 +374,11 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
         "queries": timings,
         "trials": trials,
         "throttle_probe": {"start": probe_start, "end": probe_end},
+        "notes": {
+            "window_functionals_multi": "widened 44 -> 88 feature columns in round 4 "
+            "(8 LLDs x 11 functionals, the literal eGeMAPS shape) — not row-comparable to r03",
+            "window_functionals_multi_approx": "same 88-column spec, sketch percentiles",
+        },
         "sf": sf_dir,
         "cpus": int(cpus),
         "n_turns": n_turns,
