@@ -12,6 +12,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def swap_cached(slot: list, df: DataFrame) -> DataFrame:
+    """Single-slot cache lifecycle for operators whose plan references a
+    derived table twice (self-joins, stats+scoring passes): persist
+    ``df`` (LAZY — no job at plan-construction time; the first action
+    computes the subtree once and both references read the cache),
+    unpersist the slot's previous occupant, store and return.
+
+    persist — NOT localCheckpoint — on purpose: unpersisting a persisted
+    DataFrame that some caller still holds merely degrades that caller
+    to recomputation from the intact lineage, whereas unpersisting a
+    localCheckpoint (truncated lineage) would make the older result
+    UNREADABLE ('checkpoint block not found'). The single slot bounds
+    block-manager growth across repeated calls in one session.
+    """
+    prev = slot[0]
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    out = df.persist()
+    slot[0] = out
+    return out
+
+
 def free_local_checkpoint(ckpt_df: DataFrame | None) -> None:
     """Release a localCheckpoint's block-manager storage (best-effort: if
     the internal accessor ever moves, leaking the old behavior —

@@ -95,10 +95,7 @@ def whiten_component_sql(vec_expr: str, params: dict, j: int) -> str:
     """DuckDB twin of :func:`whiten_component_col` (same literals, same
     ascending-dimension fold; 0.0 + e0 == e0 exactly, so the Spark 0-init
     fold and list_reduce's first-element init agree)."""
-
-    def dlit(v) -> str:
-        s = f"{float(v):.17g}"
-        return s if any(c in s for c in ".eE") else s + ".0"
+    from podcast_audio_feature_extraction_spark.functions.sqlfmt import dlit
 
     mean = params["mean"]
     w = params["matrix"][j]

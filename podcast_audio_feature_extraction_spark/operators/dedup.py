@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from podcast_audio_feature_extraction_spark.checkpoint import (
     free_local_checkpoint as _free_local_checkpoint,
 )
+from podcast_audio_feature_extraction_spark.checkpoint import swap_cached as _swap_cached
 
 SHINGLE_K = 3
 
@@ -44,8 +45,8 @@ def shingles_col(text_col: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-# the last minhash_lsh_pairs shingle-table checkpoint, freed on the next
-# call (single-slot, same lifecycle as search._FUSED_SEG_CKPT)
+# single-slot cache for minhash_lsh_pairs' shingle table (see
+# checkpoint.swap_cached for the lifecycle)
 _MINHASH_CKPT: list = [None]
 
 
@@ -98,20 +99,21 @@ def minhash_lsh_pairs(
     EXPLICITLY for the uncapped mode (CI parity with the all-pairs
     oracle).
 
-    ``reuse_table`` materializes the (doc_id, shingles, minhashes) table
-    before the band self-join: both sides would otherwise re-derive the
-    md5-heavy shingle+minhash subtree (n_hashes+1 md5 passes over every
-    token). Single-slot checkpoint, previous call's freed — the stored
-    shingle-table shape a cluster deployment would use."""
+    ``reuse_table`` caches the (doc_id, shingles, minhashes) table so
+    the band self-join computes the md5-heavy shingle+minhash subtree
+    (n_hashes+1 md5 passes over every token) ONCE instead of once per
+    join side — the stored shingle-table shape a cluster deployment
+    would use. Lazy single-slot persist (checkpoint.swap_cached): no job
+    at construction time, a previous call's still-held result degrades
+    to recomputation rather than erroring, block-manager growth
+    bounded."""
     n_bands = n_hashes // band_size
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col)).alias("shingles"),
     ).withColumn("minhashes", minhash_col(F.col("shingles"), n_hashes))
     if reuse_table:
-        _free_local_checkpoint(_MINHASH_CKPT[0])
-        docs = docs.localCheckpoint()
-        _MINHASH_CKPT[0] = docs
+        docs = _swap_cached(_MINHASH_CKPT, docs)
 
     bands = docs.select(
         "doc_id",
@@ -197,32 +199,18 @@ def hash60_col(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
-def simhash_col(text_col_name: str, bits: int = 60) -> Column:
-    """SimHash: bit j set iff the majority of token hashes have bit j set
-    (strictly more set than unset).
-
-    Built as a Spark-SQL expression string: the PySpark ``shiftleft``/
-    ``shiftright`` wrappers only take literal shift amounts, but the SQL
-    functions accept expressions (the lambda variable ``j``).
-    """
-    toks = f"filter(split(coalesce({text_col_name}, ''), '\\\\s+'), x -> x != '')"
-    hashes = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
-    bit_j = (
-        f"CASE WHEN 2 * size(filter({hashes}, h -> (shiftright(h, j) & 1) = 1)) > size({toks}) "
-        f"THEN cast(1 as bigint) ELSE cast(0 as bigint) END"
-    )
-    return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + shiftleft({bit_j}, j))"
-    )
-
-
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
-    """Two-projection form: the per-token 60-bit hash ARRAY is computed
+    """SimHash fingerprint per row: bit j set iff the majority of token
+    hashes have bit j set (strictly more set than unset).
+
+    Two-projection form: the per-token 60-bit hash ARRAY is computed
     once into a real column, then the 60-bit fold only does bit tests
-    over it. Inlining the hash expression into the fold (the naive
-    :func:`simhash_col` composition) would md5 every token once per bit
-    — measured 8.4 s -> this form at sf0.01 (CollapseProject leaves the
-    multi-referenced non-cheap alias un-inlined, verified via timing)."""
+    over it. Inlining the hash expression into the fold (the pre-round-4
+    single-projection form) would md5 every token once per bit —
+    measured 8.4 s -> 0.35 s at sf0.01 (CollapseProject leaves the
+    multi-referenced non-cheap alias un-inlined, verified via timing).
+    Spark-SQL expression strings because the PySpark shiftleft/shiftright
+    wrappers only take literal shift counts, not the lambda var ``j``."""
     toks = f"filter(split(coalesce({text_col}, ''), '\\\\s+'), x -> x != '')"
     hashes = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
     pre = df.select(F.col(id_col).alias("doc_id"), F.expr(hashes).alias("__h"))
@@ -238,8 +226,8 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-# the last simhash_pairs fingerprint checkpoint, freed on the next call
-# (single-slot, same lifecycle as search._FUSED_SEG_CKPT)
+# single-slot cache for simhash_pairs' fingerprint table (see
+# checkpoint.swap_cached for the lifecycle)
 _SIMHASH_CKPT: list = [None]
 
 
@@ -254,21 +242,18 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
     (LSH-style bucketing), verify hamming distance on the full hash.
 
-    ``reuse_table`` materializes the fingerprint table (doc_id, simhash,
-    bucket — one long per doc, tiny) before the self-join: both join
-    sides would otherwise re-derive the whole 60-bit fold subtree, and
-    the optimizer's subtree handling around the self-join re-evaluated
-    it far more than twice (measured 7.0 s -> 0.17 s at sf0.01). On a
-    cluster this is the stored-fingerprint-table shape. The previous
-    call's checkpoint is freed (unpersist is a no-op on localCheckpoint
-    output)."""
+    ``reuse_table`` caches the fingerprint table (doc_id, simhash,
+    bucket — one long per doc, tiny) so the self-join computes the
+    60-bit fold subtree once, not once per side (and the optimizer's
+    subtree handling around the un-cached self-join re-evaluated it far
+    more than twice — measured 7.0 s -> 0.17 s at sf0.01). On a cluster
+    this is the stored-fingerprint-table shape. Lazy single-slot persist
+    (checkpoint.swap_cached) — see :func:`minhash_lsh_pairs`."""
     sh = simhash_table(df, id_col, text_col).withColumn(
         "bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits)
     )
     if reuse_table:
-        _free_local_checkpoint(_SIMHASH_CKPT[0])
-        sh = sh.localCheckpoint()
-        _SIMHASH_CKPT[0] = sh
+        sh = _swap_cached(_SIMHASH_CKPT, sh)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "bucket")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "bucket")
     return (

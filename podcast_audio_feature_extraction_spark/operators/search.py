@@ -23,13 +23,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from podcast_audio_feature_extraction_spark.checkpoint import (
-    free_local_checkpoint as _free_local_checkpoint,
-)
+from podcast_audio_feature_extraction_spark.checkpoint import swap_cached as _swap_cached
 from podcast_audio_feature_extraction_spark.functions.time import ts_micros as _ts_micros
 
-# the last bm25_topk_fused(reuse_seg=True) checkpoint, freed on the next
-# call (single-slot: the function is a serve-one-query path)
+# single-slot cache for bm25_topk_fused's per-segment table (see
+# checkpoint.swap_cached for the lifecycle)
 _FUSED_SEG_CKPT: list = [None]
 
 
@@ -359,18 +357,14 @@ def bm25_topk_fused(
         # stats AND scoring read the per-segment table; without this the
         # whole upstream subtree (transcript derivation + window sums) runs
         # twice — the same double-scan bm25_topk pays. The per-segment
-        # table is tiny (a few doubles per window), so materializing it in
-        # the block manager is the production trade (set False to keep a
-        # single pure plan, e.g. for plan-shape tests).
-        # unpersist() is a no-op on localCheckpoint output, so repeated
-        # calls in one long session would accumulate block-manager
-        # storage: free the PREVIOUS call's checkpoint before replacing it
-        # (the caller never holds the handle — the checkpoint only feeds
-        # the returned plan, and that plan is consumed before the next
-        # bm25_topk_fused call in any sane usage).
-        _free_local_checkpoint(_FUSED_SEG_CKPT[0])
-        seg = seg.localCheckpoint()
-        _FUSED_SEG_CKPT[0] = seg
+        # table is tiny (a few doubles per window), so caching it in the
+        # block manager is the production trade (set False to keep a
+        # single pure plan, e.g. for plan-shape tests). Lazy single-slot
+        # persist: no job at construction time, a previous call's
+        # still-held result recomputes from lineage instead of erroring,
+        # and repeated calls in one session can't accumulate storage
+        # (see checkpoint.swap_cached).
+        seg = _swap_cached(_FUSED_SEG_CKPT, seg)
     stats_aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for f, pre in (("w", "__tfw"), ("d", "__tfd")):
         stats_aggs.append(F.avg(F.col(f"__dl_{f}")).alias(f"__avgdl_{f}"))

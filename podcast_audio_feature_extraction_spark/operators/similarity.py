@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from podcast_audio_feature_extraction_spark.functions.sqlfmt import dlit as _dlit
+
 
 def dot_col(a: Column, b: Column) -> Column:
     prods = F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y)
@@ -697,13 +699,6 @@ def ivf_topk_sql(
             FROM __scored
         ) WHERE rk <= {k}
     """
-
-
-def _dlit(v) -> str:
-    """A float literal DuckDB is guaranteed to type as DOUBLE (a bare
-    integer-looking %.17g like '0' would make the whole list INTEGER[])."""
-    s = f"{float(v):.17g}"
-    return s if any(c in s for c in ".eE") else s + ".0"
 
 
 def pq_topk_sql(

@@ -147,10 +147,19 @@ def build_feature_table_incremental(
     if collect_filter_threshold > 0:
         head = touched.limit(collect_filter_threshold + 1).collect()
         if len(head) <= collect_filter_threshold:
-            ids = [r["conv_id"] for r in head]
+            # drop NULL keys from the In-list: a NULL conv_id matches
+            # nothing in the join form either (left_semi never matches
+            # NULL), and a None inside isin() would make NOT-In
+            # three-valued-NULL for EVERY row and silently empty the
+            # kept side
+            ids = [r["conv_id"] for r in head if r["conv_id"] is not None]
     if ids is not None:
         rebuild_src = transcripts.filter(F.col("conv_id").isin(ids))
-        kept = stored_features.filter(~F.col("conv_id").isin(ids)).select(*FEATURE_COLS)
+        # keep NULL-keyed stored rows (the anti join keeps them too):
+        # ~In is NULL, not TRUE, for a NULL key
+        kept = stored_features.filter(
+            ~F.col("conv_id").isin(ids) | F.col("conv_id").isNull()
+        ).select(*FEATURE_COLS)
     else:
         bt = F.broadcast(touched)
         rebuild_src = transcripts.join(bt, "conv_id", "left_semi")

@@ -121,7 +121,7 @@ def test_incremental_build_never_recomputes_untouched_side(spark, transcripts_sd
     # the In-predicate sits BELOW the Window (pushed through the
     # derivation): the filter on the scan side precedes the first Window
     assert " IN " in inc_plan or " INSET " in inc_plan.upper(), inc_plan[:500]
-    assert inc_plan.index("Filter"), "expected a pushed Filter in the rebuilt subtree"
+    assert "Filter" in inc_plan, "expected a pushed Filter in the rebuilt subtree"
 
     j_w, j_arrow, j_bcast, _ = counts(
         build_feature_table_incremental(transcripts_sdf, delta, stored, collect_filter_threshold=0)
