@@ -9,7 +9,11 @@ that RDD, so unpersist it there.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+_SWAP_LOCK = threading.Lock()
 
 
 def swap_cached(slot: list, df: DataFrame) -> DataFrame:
@@ -26,14 +30,15 @@ def swap_cached(slot: list, df: DataFrame) -> DataFrame:
     UNREADABLE ('checkpoint block not found'). The single slot bounds
     block-manager growth across repeated calls in one session.
     """
-    prev = slot[0]
-    if prev is not None:
-        try:
-            prev.unpersist(False)
-        except Exception:
-            pass
-    out = df.persist()
-    slot[0] = out
+    with _SWAP_LOCK:  # concurrent plan construction from driver threads
+        prev = slot[0]
+        if prev is not None:
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass
+        out = df.persist()
+        slot[0] = out
     return out
 
 
