@@ -427,10 +427,21 @@ def run_scaling() -> dict:
             cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
         best = None
         for _ in range(n_sessions):
-            res = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+            try:
+                # observed once (round 4): a leg's JVM wedged IDLE for 40+
+                # min (load ~0, no progress) — a per-session timeout turns
+                # a wedged child into a lost session instead of hanging
+                # the whole bench
+                res = subprocess.run(
+                    cmd, env=env, capture_output=True, text=True, check=True, timeout=1200
+                )
+            except subprocess.TimeoutExpired:
+                continue
             parsed = json.loads(res.stdout.strip().splitlines()[-1])
             if best is None or parsed["turns_per_sec_backfill"] > best["turns_per_sec_backfill"]:
                 best = parsed
+        if best is None:
+            raise RuntimeError(f"all {n_sessions} scaling sessions for local[{cpus}] timed out")
         out[cpus] = best
 
     lo, hi = configs[0], configs[-1]
