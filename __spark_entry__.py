@@ -410,26 +410,43 @@ PQ_M_SUB, PQ_K_CODES = 8, 16
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-10 (Jégou et al. 2011): codebooks
-    fitted ONCE on the bounded ordered sample (fit_pq_codebooks_local —
-    bit-identical on both engines), corpus encoded to m_sub small ints in
-    one Arrow pass, then asymmetric-distance top-k where the scan reads
-    ONLY the code column — the billion-vector memory path. The DuckDB
-    twin embeds the same codebooks as nested DOUBLE literals (the ann_ivf
-    recipe), so encode + ADC are plain SQL and fully oracle-checked."""
+    """Product-quantization ADC top-10 (Jégou et al. 2011), BOTH scale
+    modes in one tagged result (the ann_lsh registry pattern):
+
+    mode='pq'    — flat PQ: codebooks fitted ONCE on the bounded ordered
+                   sample (fit_pq_codebooks_local — bit-identical on both
+                   engines), corpus encoded to m_sub small ints in one
+                   Arrow pass, then asymmetric-distance top-k where the
+                   scan reads ONLY the code column.
+    mode='ivfpq' — the composed billion-scale path: IVF centroid buckets
+                   PRUNE candidates (equi-join on centroid_id), then ADC
+                   scores only the survivors from their codes. Both model
+                   artifacts literal-inlined in the DuckDB twin
+                   (ivf_pq_topk_sql), so prune-then-ADC is fully
+                   oracle-checked — not just its pq/ivf components.
+
+    Reference analog: precompute-then-lookup retrieval
+    (/root/reference/src/search/search.py:324-353)."""
     _utc(spark)
     from podcast_audio_feature_extraction_spark.operators.similarity import (
+        fit_ivf_centroids_local,
         fit_pq_codebooks_local,
+        ivf_pq_topk,
         pq_encode,
         pq_topk,
     )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
     books = fit_pq_codebooks_local(
         f"{sf_dir}/embeddings.parquet", m_sub=PQ_M_SUB, k_codes=PQ_K_CODES, iters=8
     )
-    codes = pq_encode(e, books)
-    return pq_topk(codes, e.filter(F.col("vec_id") < 5), books, k=10)
+    cents = fit_ivf_centroids_local(f"{sf_dir}/embeddings.parquet", n_centroids=16, iters=8)
+    flat = pq_topk(pq_encode(e, books), q, books, k=10).select(F.lit("pq").alias("mode"), "*")
+    composed = ivf_pq_topk(e, q, cents, books, k=10, nprobe=4).select(
+        F.lit("ivfpq").alias("mode"), "*"
+    )
+    return flat.unionByName(composed)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,7 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "ann_bruteforce": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("brute"),
         "ann_lsh": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _ann_sql("lsh_union"),
-        "ann_pq": "WITH embeddings_src AS (SELECT * FROM embeddings)" + _pq_sql(),
+        "ann_pq": _pq_sql(),
         "text_quality": _text_quality_sql(),
         "dedup_embedding": _embedding_near_dup_sql(),
         "dedup_embedding_lsh": _embedding_near_dup_lsh_sql(),
@@ -1457,15 +1474,20 @@ def _ann_sql(kind: str) -> str:
 
 
 def _pq_sql() -> str:
-    """PQ twin: codebooks fitted deterministically from the SAME parquet
-    the Spark query reads (pure DuckDB+numpy on an ordered sample, so both
-    sides get bit-identical codebooks) and embedded as nested DOUBLE
-    literals. Reads SPARK_GRAFT_ORACLE_SF at oracle_sql() build time —
-    same contract as the IVF twin."""
+    """PQ twin (tagged union mode='pq' ∪ mode='ivfpq'): codebooks AND IVF
+    centroids fitted deterministically from the SAME parquet the Spark
+    query reads (pure DuckDB+numpy on an ordered sample, so both sides
+    get bit-identical model artifacts) and embedded as literals. Reads
+    SPARK_GRAFT_ORACLE_SF at oracle_sql() build time — same contract as
+    the IVF twin. Each branch is a full CTE chain wrapped in a derived
+    table (DuckDB allows WITH inside a parenthesized subquery), so the
+    two fragments' CTE names never collide."""
     import os
 
     from podcast_audio_feature_extraction_spark.operators.similarity import (
+        fit_ivf_centroids_local,
         fit_pq_codebooks_local,
+        ivf_pq_topk_sql,
         pq_topk_sql,
     )
 
@@ -1473,7 +1495,15 @@ def _pq_sql() -> str:
     books = fit_pq_codebooks_local(
         f"{sf_dir}/embeddings.parquet", m_sub=PQ_M_SUB, k_codes=PQ_K_CODES, iters=8
     )
-    return pq_topk_sql(books, dim=64, k=10, src="embeddings")
+    cents = fit_ivf_centroids_local(f"{sf_dir}/embeddings.parquet", n_centroids=16, iters=8)
+    prefix = "WITH embeddings_src AS (SELECT * FROM embeddings)"
+    flat = prefix + pq_topk_sql(books, dim=64, k=10, src="embeddings")
+    composed = prefix + ivf_pq_topk_sql(cents, books, dim=64, k=10, nprobe=4, src="embeddings")
+    return f"""
+        SELECT 'pq' AS mode, t.* FROM ({flat}) t
+        UNION ALL
+        SELECT 'ivfpq' AS mode, t.* FROM ({composed}) t
+    """
 
 
 def _tokenize_pad_sql() -> str:

@@ -768,6 +768,101 @@ def pq_topk_sql(
     """
 
 
+def ivf_pq_topk_sql(
+    centroids,
+    codebooks,
+    dim: int,
+    k: int = 10,
+    nprobe: int = 2,
+    src: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk` — the composed prune-then-ADC
+    path with BOTH model artifacts embedded as literals (the ann_ivf /
+    ann_pq recipes fused): corpus vectors are assigned to their nearest
+    coarse centroid (same -2*x.c + ||c||^2 distance and lowest-id tie
+    rule as the Spark UDF), PQ-encoded per subspace, and each query
+    scores only the rows in its ``nprobe`` nearest centroid buckets.
+
+    Float-parity contract matches :func:`pq_topk_sql`: every squared
+    distance is a SEQUENTIAL ascending-index fold, the ADC total folds
+    the per-subspace distances in ascending m (0.0-init on the Spark
+    side == first-element-init here, exact for non-negative doubles),
+    adc_dist rounds to 9 digits on both sides, ties break by lowest
+    centroid / code id / c_id ascending."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_sub, k_codes, sub = books.shape
+    if m_sub * sub != dim:
+        raise ValueError(f"codebooks cover {m_sub * sub} dims, expected {dim}")
+    cent_rows = ", ".join(
+        "(" + str(ci) + ", [" + ", ".join(f"{v:.17g}" for v in c) + "]::DOUBLE[])"
+        for ci, c in enumerate(centroids)
+    )
+    book_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(_dlit(v) for v in books[m][j]) + "]" for j in range(k_codes)) + "]"
+            for m in range(m_sub)
+        )
+        + "]"
+    )
+
+    def cdist(vec: str) -> str:
+        dot_xc = (
+            f"list_reduce(list_transform(range({dim}), i -> "
+            f"CAST({vec}[i+1] AS DOUBLE) * cvec[i+1]), (p, q) -> p + q)"
+        )
+        cc = f"list_reduce(list_transform(range({dim}), i -> cvec[i+1] * cvec[i+1]), (p, q) -> p + q)"
+        return f"(-2.0 * {dot_xc} + {cc})"
+
+    def subdist(vec: str, m: str, j: str) -> str:
+        term = f"(CAST({vec}[({m}) * {sub} + i + 1] AS DOUBLE) - bks[({m}) + 1][({j}) + 1][i + 1])"
+        return f"list_reduce(list_transform(range({sub}), i -> {term} * {term}), (a, b) -> a + b)"
+
+    code_expr = (
+        f"list_transform(range({m_sub}), m -> "
+        f"list_transform([list_transform(range({k_codes}), j -> {subdist('embedding', 'm', 'j')})], "
+        f"dl -> CAST(list_position(dl, list_min(dl)) - 1 AS INT))[1])"
+    )
+    adc = (
+        f"list_reduce(list_transform(range({m_sub}), m -> "
+        f"{subdist('q.q_vec', 'm', 'c.codes[m + 1]')}), (a, b) -> a + b)"
+    )
+    return f"""
+        , __ipq_cent AS (SELECT * FROM (VALUES {cent_rows}) AS t(cid, cvec)),
+        __ipq_bk AS (SELECT {book_lit} AS bks),
+        __ipq_codes AS (
+            SELECT c_id, centroid_id, {code_expr} AS codes
+            FROM (
+                SELECT vec_id AS c_id, embedding, cid AS centroid_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY {cdist("embedding")} ASC, cid ASC) AS rn
+                FROM {src} CROSS JOIN __ipq_cent
+            ) CROSS JOIN __ipq_bk
+            WHERE rn = 1
+        ),
+        __ipq_q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec, cid AS centroid_id
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {cdist("e.embedding")} ASC, c.cid ASC) AS rn
+                FROM {src} e CROSS JOIN __ipq_cent c
+                WHERE {query_pred.replace("vec_id", "e.vec_id")}
+            ) WHERE rn <= {nprobe}
+        ),
+        __ipq_scored AS (
+            SELECT q.q_id, c.c_id, round({adc}, 9) AS adc_dist
+            FROM __ipq_codes c JOIN __ipq_q q USING (centroid_id) CROSS JOIN __ipq_bk
+            WHERE c.c_id <> q.q_id
+        )
+        SELECT q_id, c_id, adc_dist, rk FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS INT) AS rk
+            FROM __ipq_scored
+        ) WHERE rk <= {k}
+    """
+
+
 def _cos_sql(a: str, b: str, dim: int) -> str:
     def dot(x, y):
         return (
