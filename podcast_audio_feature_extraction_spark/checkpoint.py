@@ -29,6 +29,14 @@ def swap_cached(slot: list, df: DataFrame) -> DataFrame:
     localCheckpoint (truncated lineage) would make the older result
     UNREADABLE ('checkpoint block not found'). The single slot bounds
     block-manager growth across repeated calls in one session.
+
+    LIMITATION — one live plan per operator slot: constructing a second
+    query through the same slot (e.g. two minhash_lsh_pairs plans built
+    before either executes) unpersists the first plan's cache before it
+    ever fills, so the earlier query silently reverts to full recompute
+    of the derived table (correct results, cache win gone). Interleaved
+    multi-query builds that need both caches live should persist()/
+    unpersist() explicitly at the call site instead.
     """
     with _SWAP_LOCK:  # concurrent plan construction from driver threads
         prev = slot[0]

@@ -138,7 +138,15 @@ def build_feature_table_incremental(
     (unbounded touched sets). Measured at sf0.1 (~1% touched):
     full 2.05 s, join form 1.60 s, predicate form 1.29 s — the residual
     floor is materializing the kept side's output rows, which a
-    partition-overwrite sink does not pay.
+    partition-overwrite sink does not pay (that shape is
+    :func:`delta_rebuild_partitioned` + :func:`commit_rebuilt_partitions`).
+
+    NOTE: with ``collect_filter_threshold > 0`` this function runs an
+    EAGER bounded collect job (``touched.limit(threshold + 1).collect()``)
+    at plan-construction time, which also evaluates the ``new_turns``
+    subtree once here and once via the returned plan. Callers that need a
+    pure/lazy builder (plan-shape tooling, cheap new_turns recomputation
+    not guaranteed) should pass ``collect_filter_threshold=0``.
     """
     from pyspark.sql import functions as F
 
@@ -172,6 +180,117 @@ def build_feature_table_incremental(
         val_col=val_col,
     )
     return kept.unionByName(rebuilt)
+
+
+N_CONV_BUCKETS = 512
+
+
+def conv_bucket_col(n_buckets: int = N_CONV_BUCKETS):
+    """Deterministic conversation -> partition bucket (crc32 of the utf-8
+    conv_id, mod ``n_buckets``). crc32 is the same polynomial in Spark and
+    Python's zlib, so the driver side can compute a delta's touched-bucket
+    list without a Spark job (test-pinned)."""
+    from pyspark.sql import functions as F
+
+    return (F.crc32(F.col("conv_id").cast("string")) % n_buckets).cast("int")
+
+
+def write_conv_partitioned(
+    df: DataFrame, path: str, n_buckets: int = N_CONV_BUCKETS, mode: str = "overwrite"
+) -> None:
+    """Store a conv_id-keyed table hive-partitioned by ``conv_bucket`` —
+    the production layout for incremental rebuilds: a delta touching c
+    conversations rewrites at most c partitions and the rebuild scan
+    reads only those directories (partition pruning, no file row-group
+    even opened for untouched buckets).
+
+    Granularity trade: corpus_bytes / n_buckets is the rewrite
+    amplification unit (a touched bucket is rebuilt whole). Pick
+    n_buckets >> typical delta's conversation count but small enough
+    that a bucket is still a healthy parquet file set (e.g. 100 TB /
+    8192 buckets = ~12 GB/bucket). repartition by bucket first so each
+    bucket is written by one task (one file per bucket, not
+    tasks x buckets tiny files)."""
+    (
+        df.withColumn("conv_bucket", conv_bucket_col(n_buckets))
+        .repartition("conv_bucket")
+        .write.partitionBy("conv_bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def touched_buckets(new_turns: DataFrame, n_buckets: int = N_CONV_BUCKETS, max_collect: int = 100_000) -> list[int]:
+    """Distinct bucket ids the delta touches, computed driver-side with
+    zlib.crc32 (== Spark crc32; parity test-pinned). EAGER bounded
+    collect of the distinct conv_id set — raises if the delta touches
+    more than ``max_collect`` conversations (at that size rebuild the
+    table instead of enumerating partitions)."""
+    import zlib
+
+    rows = new_turns.select("conv_id").distinct().limit(max_collect + 1).collect()
+    if len(rows) > max_collect:
+        raise ValueError(
+            f"delta touches > {max_collect} conversations — use a full rebuild "
+            "(partition enumeration no longer pays)"
+        )
+    return sorted(
+        {zlib.crc32(r["conv_id"].encode()) % n_buckets for r in rows if r["conv_id"] is not None}
+    )
+
+
+def delta_rebuild_partitioned(
+    spark,
+    transcript_path: str,
+    new_turns: DataFrame,
+    n_buckets: int = N_CONV_BUCKETS,
+    gap_s: float = 1800.0,
+    k: int = 5,
+    embed_dim: int = 64,
+    val_col: str | None = "val",
+) -> DataFrame:
+    """Production-shape delta build over a STORED transcript partitioned
+    by conv_bucket (:func:`write_conv_partitioned`): the rebuild reads
+    ONLY the delta's touched partitions (PartitionFilters prune the
+    directory listing — plan-asserted) and recomputes every conversation
+    in them (the bucket is the rewrite unit, so bucket-mates of a touched
+    conversation are rebuilt too — identical rows, they land in the same
+    overwritten partition).
+
+    The stored transcript must already include the new turns (same
+    snapshot contract as :func:`build_feature_table_incremental`).
+    Returns the rebuilt feature rows WITH conv_bucket, ready for
+    :func:`commit_rebuilt_partitions`; unlike the In-predicate form this
+    path never reads — let alone materializes — the untouched ~99%."""
+    from pyspark.sql import functions as F
+
+    buckets = touched_buckets(new_turns, n_buckets)
+    src = spark.read.parquet(transcript_path).filter(F.col("conv_bucket").isin(buckets))
+    rebuilt = build_feature_table(
+        src.drop("conv_bucket"), gap_s=gap_s, k=k, embed_dim=embed_dim, val_col=val_col
+    )
+    return rebuilt.withColumn("conv_bucket", conv_bucket_col(n_buckets))
+
+
+def commit_rebuilt_partitions(rebuilt: DataFrame, features_path: str) -> None:
+    """Dynamic partition overwrite: replaces exactly the conv_bucket
+    partitions present in ``rebuilt``; every other partition's files are
+    untouched (no read, no rewrite) — this is why the incremental path's
+    cost tracks the touched fraction instead of the kept-side
+    materialization floor (build_feature_table_incremental's docstring)."""
+    spark = rebuilt.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            rebuilt.repartition("conv_bucket")
+            .write.partitionBy("conv_bucket")
+            .mode("overwrite")
+            .parquet(features_path)
+        )
+    finally:
+        spark.conf.set(key, prev)
 
 
 def flagship(transcripts: DataFrame, gap_s: float = 1800.0, k: int = 5, strategy: str = "union") -> DataFrame:

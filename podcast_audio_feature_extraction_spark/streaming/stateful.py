@@ -91,6 +91,12 @@ ASOF_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# STATE-SCHEMA COMPATIBILITY: round 4 widened this from 3 to 5 fields
+# (the ordering-contract watermark). A streaming query RESUMED from a
+# checkpoint written under the 3-field schema will fail at state.get /
+# state-schema validation rather than migrate — restart such queries
+# from a fresh checkpoint directory (state is a pure enrichment cache:
+# the rebuild cost is one cold pass, no data loss).
 ASOF_STATE_SCHEMA = T.StructType(
     [
         T.StructField("feat_ts_us", T.LongType()),
