@@ -51,6 +51,53 @@ def _materialize(df) -> int:
     return 0
 
 
+class _PassWatchdog:
+    """Un-wedge guard for single timed passes.
+
+    Diagnosed round 5 (jstack + /proc): under this VM's throttle phases a
+    JVM task thread can block forever reading an Arrow batch from a
+    pyspark worker while the worker blocks reading its socket — a lost
+    wakeup on loopback; DAG scheduler idle, both ends sleeping, the
+    driver's py4j call never returns (observed twice in one day, each
+    eating a full 20-min session bound). The task iterator IS
+    interruptible, so `sc.cancelAllJobs()` from a side thread unsticks
+    the blocked call with a job-cancelled exception — converting a lost
+    session into one lost trial. `limit_s` must exceed any legitimate
+    pass (slowest observed: 142 s for a phase-hit 7 s trial)."""
+
+    def __init__(self, spark, limit_s: float = 240.0):
+        self.spark, self.limit_s = spark, limit_s
+        self.cancelled: list[str] = []
+
+    def run(self, label: str, fn):
+        import threading
+
+        done = threading.Event()
+        fired = []
+
+        def _cancel():
+            if not done.wait(self.limit_s):
+                fired.append(label)
+                try:
+                    self.spark.sparkContext.cancelAllJobs()
+                except Exception:
+                    pass
+
+        t = threading.Thread(target=_cancel, daemon=True)
+        t.start()
+        try:
+            fn()
+            return True
+        except Exception:
+            if fired:  # wedge path: swallow the cancellation error
+                self.cancelled.append(label)
+                print(f"WATCHDOG cancelled wedged pass: {label}", file=sys.stderr)
+                return False
+            raise
+        finally:
+            done.set()
+
+
 def _throttle_probe() -> list[float]:
     """Two back-to-back 4000^2 matmuls (identical work). The sandbox has
     multi-second throttle phases; a slow probe (or a big spread between
@@ -83,7 +130,15 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     n_turns = t.count()
 
     timings: dict[str, float] = {}
-    trials: dict[str, list[float]] = {}
+    trials: dict[str, list] = {}
+    watchdog = _PassWatchdog(spark)
+
+    def _record(name: str, ts_: list) -> None:
+        # a None trial = watchdog-cancelled wedge (self-describing JSON);
+        # if EVERY trial wedged, record the watchdog limit as the value
+        good = [x for x in ts_ if x is not None]
+        trials[name] = ts_
+        timings[name] = min(good) if good else watchdog.limit_s
 
     def _add(name: str, fn, n: int = 3) -> None:
         # best-of-n damps the sandbox's multi-second throttling phases;
@@ -91,27 +146,25 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
         ts_ = []
         for _ in range(n):
             t0 = time.perf_counter()
-            fn()
-            ts_.append(round(time.perf_counter() - t0, 3))
-        trials[name] = ts_
-        timings[name] = min(ts_)
+            ok = watchdog.run(name, fn)
+            ts_.append(round(time.perf_counter() - t0, 3) if ok else None)
+        _record(name, ts_)
 
     def _interleave(cases, n: int = 3, between=None) -> None:
         """Alternate the cases' trials (a throttle phase during one
         config's block would flip an A/B comparison; alternating puts
         every config in every phase). ``between`` is an optional probe
         recorded after each trial (into ``probes[label]``)."""
-        tr: dict[str, list[float]] = {label: [] for label, _ in cases}
+        tr: dict[str, list] = {label: [] for label, _ in cases}
         for _ in range(n):
             for label, fn in cases:
                 t0 = time.perf_counter()
-                fn()
-                tr[label].append(round(time.perf_counter() - t0, 3))
+                ok = watchdog.run(label, fn)
+                tr[label].append(round(time.perf_counter() - t0, 3) if ok else None)
                 if between is not None:
                     probes.setdefault(label, []).append(between())
         for label, _ in cases:
-            trials[label] = tr[label]
-            timings[label] = min(tr[label])
+            _record(label, tr[label])
 
     probes: dict[str, list] = {}
 
@@ -465,6 +518,7 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
         compact,
         trials=trials,
         probes=probes,
+        wedge_cancelled=watchdog.cancelled,
         throttle_probe={"start": probe_start, "end": probe_end},
         n_delta_convs=n_delta_convs,
         notes={
@@ -569,7 +623,15 @@ def run_scaling() -> dict:
                 proc.wait()
                 continue
             if proc.returncode != 0:
-                raise subprocess.CalledProcessError(proc.returncode, cmd, stdout, stderr)
+                # exit 3 = the leg's own watchdog hit a wedged pass; any
+                # nonzero session is lost, not fatal — the other sessions
+                # still produce the leg's number
+                print(
+                    f"scaling leg local[{cpus}]: session lost "
+                    f"(exit {proc.returncode}); stderr tail: {stderr[-500:]}",
+                    file=sys.stderr,
+                )
+                continue
             parsed = json.loads(stdout.strip().splitlines()[-1])
             if best is None or parsed["turns_per_sec_backfill"] > best["turns_per_sec_backfill"]:
                 best = parsed
@@ -623,18 +685,31 @@ def run_flagship_only(sf_dir: str, cpus: str) -> dict:
     # use the noop sink and the stored table sits in page cache.
     tmp = tempfile.mkdtemp(prefix="bench_feats_")
     feats_path = os.path.join(tmp, "features")
-    build_feature_table(t).write.mode("overwrite").parquet(feats_path)
+    _store_watchdog = _PassWatchdog(spark, limit_s=300.0)
+    if not _store_watchdog.run(
+        "store", lambda: build_feature_table(t).write.mode("overwrite").parquet(feats_path)
+    ):
+        sys.exit(3)
     feats = spark.read.parquet(feats_path)
     frame = t.select("conv_id", "turn_idx", "role", "text", "ts")
 
+    # a wedged pass (the Arrow-worker lost-wakeup, see _PassWatchdog)
+    # invalidates the whole leg session: exit nonzero so run_scaling
+    # counts it a lost session in minutes instead of the 20-min bound
+    watchdog = _PassWatchdog(spark, limit_s=300.0)
+
     def build_pass() -> float:
         t0 = time.perf_counter()
-        _materialize(build_feature_table(t))
+        if not watchdog.run("build", lambda: _materialize(build_feature_table(t))):
+            sys.exit(3)
         return time.perf_counter() - t0
 
     def asof_pass() -> float:
         t0 = time.perf_counter()
-        _materialize(backfill_features(frame, feats, strategy="union"))
+        if not watchdog.run(
+            "asof", lambda: _materialize(backfill_features(frame, feats, strategy="union"))
+        ):
+            sys.exit(3)
         return time.perf_counter() - t0
 
     # full-size warm-up + best-of-3: C2 JIT, python-worker spawn, and page

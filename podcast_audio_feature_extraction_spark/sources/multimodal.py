@@ -116,7 +116,8 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
         return _decode_wav(payload)
     raise NotImplementedError(
         "decode beyond PCM WAV requires codec libs not present in this "
-        "container: image -> PIL.Image.open(BytesIO(payload)) -> np.asarray; "
+        "container (re-verified round 5: soundfile/PIL/librosa/cv2/av all "
+        "absent): image -> PIL.Image.open(BytesIO(payload)) -> np.asarray; "
         "compressed audio -> soundfile.read(BytesIO(payload), dtype='int16') "
         "-> stereo downmix mean(axis=1)/32768.0 (YAMNetExtractor.py:69-70); "
         "video -> pyav frame iterator. Swap _decode for these on a real "
