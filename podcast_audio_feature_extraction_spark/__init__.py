@@ -74,6 +74,10 @@ _API = {
     "build_feature_table": "plans.backfill",
     "build_feature_table_incremental": "plans.backfill",
     "backfill_features": "plans.backfill",
+    "write_conv_partitioned": "plans.backfill",
+    "delta_rebuild_partitioned": "plans.backfill",
+    "commit_rebuilt_partitions": "plans.backfill",
+    "touched_buckets": "plans.backfill",
     "enrich_stream_with_features": "streaming.enrich",
     "stateful_asof_enrich": "streaming.stateful",
 }
