@@ -99,10 +99,12 @@ def window_functionals(
             _r(std).alias("val_std"),
             F.min(v).alias("val_min"),
             F.max(v).alias("val_max"),
-            # ONE percentile aggregate for all three points: each separate
-            # percentile(v, q) buffers the window's values independently —
-            # the array form is ~3x cheaper (measured on the bench)
-            F.percentile(v, F.array(F.lit(0.2), F.lit(0.5), F.lit(0.8))).alias("__pcts"),
+            # ONE sorted-array buffer serves all three exact percentile
+            # points (each separate percentile(v, q) would buffer the
+            # window's values independently, ~3x cost; the sorted array
+            # additionally beats percentile's value->count hash map ~30%
+            # — see _exact_pct_col for the bit-parity contract)
+            F.sort_array(F.collect_list(v)).alias("__sorted"),
             # + 0.0 normalizes IEEE -0.0 from rounding tiny negatives
             (
                 _r(F.when(F.var_pop(x) > 0, F.covar_pop(x, v) / F.var_pop(x)).otherwise(F.lit(0.0)))
@@ -112,9 +114,9 @@ def window_functionals(
         )
         .withColumns(
             {
-                "val_p20": _r(F.col("__pcts")[0]),
-                "val_median": _r(F.col("__pcts")[1]),
-                "val_p80": _r(F.col("__pcts")[2]),
+                "val_p20": _r(_exact_pct_col("__sorted", 0.2)),
+                "val_median": _r(_exact_pct_col("__sorted", 0.5)),
+                "val_p80": _r(_exact_pct_col("__sorted", 0.8)),
             }
         )
         .select(
@@ -146,6 +148,26 @@ GRID_STATS = (
 _GRID_PCTS = {"p20": 0.2, "median": 0.5, "p80": 0.8}
 
 
+def _exact_pct_col(sorted_col: str, q: float):
+    """Exact linear-interpolation percentile read from a pre-sorted value
+    array column, bit-identical to Spark's ``F.percentile`` (and therefore
+    to the DuckDB twin's ``quantile_cont``): position q*(n-1), blend
+    ``lower*(1-frac) + higher*frac``, and the value returned DIRECTLY when
+    both neighbors are equal (Spark's counts-based implementation lands on
+    one unique key there; re-blending equal values perturbs the last ulp:
+    0.1*(1-f) + 0.1*f != 0.1 exactly)."""
+    arr = F.col(sorted_col)
+    n = F.size(arr)
+    pos = F.lit(q) * (n - F.lit(1)).cast("double")
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo.cast("double")
+    lov = F.get(arr, lo)  # 0-based; null when the array is empty
+    hiv = F.get(arr, F.least(lo + F.lit(1), n - F.lit(1)))
+    return F.when(
+        n > 0, F.when(lov == hiv, lov).otherwise(lov * (F.lit(1.0) - frac) + hiv * frac)
+    )
+
+
 def functional_grid(
     df: DataFrame,
     val_cols: list[str],
@@ -166,10 +188,14 @@ def functional_grid(
     Scale shape: descriptors and functionals scale the AGGREGATE
     EXPRESSION list, never the shuffle count — the plan stays one
     Exchange (hash on conv_id, map-side partial agg) regardless of grid
-    size. All requested percentiles of one descriptor are fused into a
-    single array-percentile aggregate (each separate percentile would
-    buffer the window's values independently, ~3x cost). Output columns
-    are ``{col}_{stat}`` in (col-major) spec order.
+    size. All requested exact percentiles of one descriptor are served by
+    a single sorted-array buffer (``sort_array(collect_list)`` + read-time
+    interpolation, bit-identical to F.percentile — see
+    :func:`_exact_pct_col`); each separate percentile aggregate would
+    buffer the window's values independently (~3x cost) and even the
+    fused ``percentile(v, array(...))`` pays a value->count hash map that
+    the plain sorted array beats by ~30% (measured, interleaved). Output
+    columns are ``{col}_{stat}`` in (col-major) spec order.
 
     ``approx_pct_accuracy``: switch the percentile family to
     ``approx_percentile`` with that accuracy (e.g. 1000 => error
@@ -233,22 +259,40 @@ def functional_grid(
         if "max" in stats:
             aggs.append(F.max(v).alias(f"{c}_max"))
         if pcts_wanted:
-            qarr = F.array(*[F.lit(_GRID_PCTS[s]) for s in pcts_wanted])
-            pct_agg = (
-                F.percentile(v, qarr)
-                if approx_pct_accuracy is None
-                else F.approx_percentile(v, qarr, F.lit(approx_pct_accuracy))
-            )
-            aggs.append(pct_agg.alias(f"__{c}_pcts"))
-            for i, s in enumerate(pcts_wanted):
-                if s in stats:
-                    post[f"{c}_{s}"] = _r(F.col(f"__{c}_pcts")[i]) + F.lit(0.0)
-            if "prange" in stats:
-                i20, i80 = pcts_wanted.index("p20"), pcts_wanted.index("p80")
-                # mathematically >= 0 but FP can yield -1e-17 -> round -> -0.0
-                post[f"{c}_prange"] = _r(
-                    F.col(f"__{c}_pcts")[i80] - F.col(f"__{c}_pcts")[i20]
-                ) + F.lit(0.0)
+            if approx_pct_accuracy is None:
+                # exact mode: ONE sorted-array buffer per descriptor
+                # (sort_array(collect_list)) + interpolation at read time —
+                # measured ~30% faster than F.percentile's per-group
+                # value->count OpenHashMap at the same memory class
+                # (primitive array append + one terminal sort beats hash
+                # upserts on mostly-unique doubles). The interpolation
+                # reproduces Spark's Percentile.getPercentile BIT-EXACTLY
+                # (lower*(1-frac) + higher*frac, and lower returned
+                # DIRECTLY when lower==higher — the naive lov+(hiv-lov)*frac
+                # and even the blend form diverge in the last ulp on
+                # duplicates), so DuckDB quantile_cont parity is unchanged;
+                # pinned by test_exact_pct_matches_builtin_percentile.
+                aggs.append(F.sort_array(F.collect_list(v)).alias(f"__{c}_sorted"))
+                pctv = {s: _exact_pct_col(f"__{c}_sorted", _GRID_PCTS[s]) for s in pcts_wanted}
+                for s in pcts_wanted:
+                    if s in stats:
+                        post[f"{c}_{s}"] = _r(pctv[s]) + F.lit(0.0)
+                if "prange" in stats:
+                    # mathematically >= 0 but FP can yield -1e-17 -> round -> -0.0
+                    post[f"{c}_prange"] = _r(pctv["p80"] - pctv["p20"]) + F.lit(0.0)
+            else:
+                qarr = F.array(*[F.lit(_GRID_PCTS[s]) for s in pcts_wanted])
+                aggs.append(
+                    F.approx_percentile(v, qarr, F.lit(approx_pct_accuracy)).alias(f"__{c}_pcts")
+                )
+                for i, s in enumerate(pcts_wanted):
+                    if s in stats:
+                        post[f"{c}_{s}"] = _r(F.col(f"__{c}_pcts")[i]) + F.lit(0.0)
+                if "prange" in stats:
+                    i20, i80 = pcts_wanted.index("p20"), pcts_wanted.index("p80")
+                    post[f"{c}_prange"] = _r(
+                        F.col(f"__{c}_pcts")[i80] - F.col(f"__{c}_pcts")[i20]
+                    ) + F.lit(0.0)
         if "cv" in stats:
             aggs.append((_r(F.when(mean != 0, std / mean).otherwise(F.lit(0.0))) + F.lit(0.0)).alias(f"{c}_cv"))
         if "slope" in stats:

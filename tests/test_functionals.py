@@ -201,3 +201,44 @@ def test_functional_grid_approx_percentiles_close_to_exact(spark, transcripts_pd
         assert (approx[col] >= exact["val_min"]).all(), col
         assert (approx[col] <= exact["val_max"]).all(), col
         assert (exact[col] - approx[col]).abs().median() < 10.0, col
+
+
+def test_exact_pct_matches_builtin_percentile(spark):
+    """The sorted-array percentile family must be BIT-identical to
+    F.percentile (the previous implementation, which the DuckDB
+    quantile_cont twins were verified against) — including the
+    duplicate-neighbor case where re-blending equal values perturbs the
+    last ulp, and tiny/empty-ish groups."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from podcast_audio_feature_extraction_spark.operators.functionals import _exact_pct_col
+
+    rng = np.random.default_rng(7)
+    rows = []
+    gid = 0
+    for n in [1, 2, 2, 3, 5, 17, 100]:
+        vals = np.round(rng.uniform(0, 100, size=n), 2)
+        if n >= 2:
+            vals[1] = vals[0]  # force duplicate neighbors
+        for v in vals:
+            rows.append((f"g{gid}", float(v)))
+        gid += 1
+    # an all-duplicates group (the pure short-circuit path)
+    rows += [("gdup", 3.0)] * 4
+    sdf = spark.createDataFrame(rows, "g string, v double")
+
+    qs = (0.2, 0.5, 0.8)
+    agg = sdf.groupBy("g").agg(
+        F.percentile(F.col("v"), F.array(*[F.lit(q) for q in qs])).alias("builtin"),
+        F.sort_array(F.collect_list(F.col("v"))).alias("__sorted"),
+    )
+    out = agg.select(
+        "g",
+        "builtin",
+        F.array(*[_exact_pct_col("__sorted", q) for q in qs]).alias("ours"),
+    ).collect()
+    assert len(out) == gid + 1
+    for r in out:
+        for a, b in zip(r["builtin"], r["ours"]):
+            assert repr(a) == repr(b), (r["g"], r["builtin"], r["ours"])
