@@ -424,6 +424,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    artifacts literal-inlined in the DuckDB twin
                    (ivf_pq_topk_sql), so prune-then-ADC is fully
                    oracle-checked — not just its pq/ivf components.
+    mode='ivfpq_res' — the canonical RESIDUAL form (Jégou et al. 2011
+                   §IV): codes encode x - centroid with codebooks fitted
+                   on residuals, one ADC LUT per probed cell from
+                   q - centroid. Sharper quantization at the same code
+                   budget; recall gain vs the raw form test-pinned.
 
     Reference analog: precompute-then-lookup retrieval
     (/root/reference/src/search/search.py:324-353)."""
@@ -431,6 +436,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from podcast_audio_feature_extraction_spark.operators.similarity import (
         fit_ivf_centroids_local,
         fit_pq_codebooks_local,
+        fit_residual_pq_codebooks_local,
         ivf_pq_topk,
         pq_encode,
         pq_topk,
@@ -442,11 +448,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}/embeddings.parquet", m_sub=PQ_M_SUB, k_codes=PQ_K_CODES, iters=8
     )
     cents = fit_ivf_centroids_local(f"{sf_dir}/embeddings.parquet", n_centroids=16, iters=8)
+    res_books = fit_residual_pq_codebooks_local(
+        f"{sf_dir}/embeddings.parquet", cents, m_sub=PQ_M_SUB, k_codes=PQ_K_CODES, iters=8
+    )
     flat = pq_topk(pq_encode(e, books), q, books, k=10).select(F.lit("pq").alias("mode"), "*")
     composed = ivf_pq_topk(e, q, cents, books, k=10, nprobe=4).select(
         F.lit("ivfpq").alias("mode"), "*"
     )
-    return flat.unionByName(composed)
+    res = ivf_pq_topk(e, q, cents, res_books, k=10, nprobe=4, residual=True).select(
+        F.lit("ivfpq_res").alias("mode"), "*"
+    )
+    return flat.unionByName(composed).unionByName(res)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1487,6 +1499,7 @@ def _pq_sql() -> str:
     from podcast_audio_feature_extraction_spark.operators.similarity import (
         fit_ivf_centroids_local,
         fit_pq_codebooks_local,
+        fit_residual_pq_codebooks_local,
         ivf_pq_topk_sql,
         pq_topk_sql,
     )
@@ -1496,13 +1509,21 @@ def _pq_sql() -> str:
         f"{sf_dir}/embeddings.parquet", m_sub=PQ_M_SUB, k_codes=PQ_K_CODES, iters=8
     )
     cents = fit_ivf_centroids_local(f"{sf_dir}/embeddings.parquet", n_centroids=16, iters=8)
+    res_books = fit_residual_pq_codebooks_local(
+        f"{sf_dir}/embeddings.parquet", cents, m_sub=PQ_M_SUB, k_codes=PQ_K_CODES, iters=8
+    )
     prefix = "WITH embeddings_src AS (SELECT * FROM embeddings)"
     flat = prefix + pq_topk_sql(books, dim=64, k=10, src="embeddings")
     composed = prefix + ivf_pq_topk_sql(cents, books, dim=64, k=10, nprobe=4, src="embeddings")
+    res = prefix + ivf_pq_topk_sql(
+        cents, res_books, dim=64, k=10, nprobe=4, src="embeddings", residual=True
+    )
     return f"""
         SELECT 'pq' AS mode, t.* FROM ({flat}) t
         UNION ALL
         SELECT 'ivfpq' AS mode, t.* FROM ({composed}) t
+        UNION ALL
+        SELECT 'ivfpq_res' AS mode, t.* FROM ({res}) t
     """
 
 

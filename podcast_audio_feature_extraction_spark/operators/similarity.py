@@ -276,6 +276,39 @@ def _sub_dists(xs, book):
     return d
 
 
+def _fit_pq_books(x, m_sub: int, k_codes: int, iters: int, seed: int):
+    import numpy as np
+
+    d = x.shape[1]
+    if d % m_sub:
+        raise ValueError(f"embedding dim {d} not divisible by m_sub={m_sub}")
+    sub = d // m_sub
+    return np.stack(
+        [
+            _kmeans_core(np.ascontiguousarray(x[:, m * sub : (m + 1) * sub]), k_codes, iters, seed + m)
+            for m in range(m_sub)
+        ]
+    )
+
+
+def _residualize(x, centroids):
+    """(x - nearest_centroid, assignment) with the SAME distance form and
+    tie rule as :func:`_nearest_centroids_udf` (-2*x.c + ||c||^2, per-dim
+    ascending accumulation, stable first-argmin = lowest centroid id) so
+    fit-time assignments match encode-time and SQL-twin assignments."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    n, k = len(x), cent.shape[0]
+    dot = np.zeros((n, k))
+    cc = np.zeros(k)
+    for i in range(cent.shape[1]):
+        dot += x[:, i : i + 1] * cent[None, :, i]
+        cc += cent[:, i] * cent[:, i]
+    assign = np.argsort(-2.0 * dot + cc[None, :], axis=1, kind="stable")[:, 0]
+    return x - cent[assign], assign
+
+
 def fit_pq_codebooks(
     emb: DataFrame,
     m_sub: int = 8,
@@ -300,16 +333,7 @@ def fit_pq_codebooks(
 
     pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    d = x.shape[1]
-    if d % m_sub:
-        raise ValueError(f"embedding dim {d} not divisible by m_sub={m_sub}")
-    sub = d // m_sub
-    return np.stack(
-        [
-            _kmeans_core(np.ascontiguousarray(x[:, m * sub : (m + 1) * sub]), k_codes, iters, seed + m)
-            for m in range(m_sub)
-        ]
-    )
+    return _fit_pq_books(x, m_sub, k_codes, iters, seed)
 
 
 def fit_pq_codebooks_local(
@@ -337,16 +361,38 @@ def fit_pq_codebooks_local(
     ).fetchdf()
     con.close()
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    d = x.shape[1]
-    if d % m_sub:
-        raise ValueError(f"embedding dim {d} not divisible by m_sub={m_sub}")
-    sub = d // m_sub
-    return np.stack(
-        [
-            _kmeans_core(np.ascontiguousarray(x[:, m * sub : (m + 1) * sub]), k_codes, iters, seed + m)
-            for m in range(m_sub)
-        ]
-    )
+    return _fit_pq_books(x, m_sub, k_codes, iters, seed)
+
+
+def fit_residual_pq_codebooks_local(
+    parquet_path: str,
+    centroids,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 20_000,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """RESIDUAL PQ codebooks (the standard billion-scale IVF-PQ form,
+    Jégou et al. 2011 §IV): codebooks are fitted on x - nearest_centroid
+    instead of x, so the k_codes centroids per subspace model the
+    within-cell distribution rather than the global one — sharper
+    quantization at the same code budget. Same DuckDB+numpy ordered-limit
+    sample contract as :func:`fit_pq_codebooks_local` (bit-identical
+    literals for the SQL twin)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM '{parquet_path}' ORDER BY {id_col} LIMIT {sample_rows}"
+    ).fetchdf()
+    con.close()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    r, _ = _residualize(x, centroids)
+    return _fit_pq_books(r, m_sub, k_codes, iters, seed)
 
 
 def pq_encode(
@@ -354,22 +400,27 @@ def pq_encode(
     codebooks,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    centroids=None,
+    centroid_col: str | None = None,
 ) -> DataFrame:
     """Attach the PQ code (array<int> of length m_sub) to every vector:
     per subspace, the index of the nearest codebook centroid. One
     Arrow-vectorized pass with the codebooks broadcast as a literal —
-    this is the one-off encode job whose output IS the stored index."""
+    this is the one-off encode job whose output IS the stored index.
+
+    With ``centroids`` + ``centroid_col`` set, encodes the RESIDUAL
+    x - centroids[centroid_col] instead of x (the IVF-PQ residual form;
+    the codebooks must then come from a residual fit)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
 
     books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
     m_sub, _, sub = books.shape
+    if (centroids is None) != (centroid_col is None):
+        raise ValueError("pq_encode: centroids and centroid_col must be set together")
+    cent = None if centroids is None else np.asarray(centroids, dtype=np.float64)
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    def _codes_for(x):
         if x.shape[1] != m_sub * sub:
             raise ValueError(
                 f"pq_encode: vectors are {x.shape[1]}-dim but the codebooks were fit "
@@ -384,7 +435,26 @@ def pq_encode(
             codes[:, m] = _sub_dists(x[:, m * sub : (m + 1) * sub], books[m]).argmin(axis=1)
         return pd.Series([row.tolist() for row in codes])
 
-    return emb.withColumn(out_col, encode(F.col(vec_col)))
+    if cent is None:
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def encode(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            return _codes_for(np.stack([np.asarray(v, dtype=np.float64) for v in vecs]))
+
+        return emb.withColumn(out_col, encode(F.col(vec_col)))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode_res(vecs: pd.Series, cids: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # r_i = x_i - c_i FIRST, then (r_i - b_i)^2 — the SQL twin writes
+        # ((emb - cvec) - bks) with the same grouping
+        return _codes_for(x - cent[cids.to_numpy(dtype=np.int64)])
+
+    return emb.withColumn(out_col, encode_res(F.col(vec_col), F.col(centroid_col)))
 
 
 def pq_topk(
@@ -464,11 +534,19 @@ def ivf_pq_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN composition — IVF centroid
     buckets PRUNE the candidate set (~n_centroids/nprobe reduction,
     equi-join on centroid_id), then PQ/ADC scores only the survivors from
     their m_sub-int codes (no float vector read at scan time).
+
+    ``residual=True`` is the canonical Jégou et al. 2011 §IV form: codes
+    encode x - centroid (so ``codebooks`` must come from
+    :func:`fit_residual_pq_codebooks_local`), and each query builds one
+    ADC LUT PER PROBED CELL from q - centroid — sharper quantization at
+    the same code budget (recall gain test-pinned). The broadcast grows
+    from n_q to n_q*nprobe LUTs — still tiny.
 
     Both model artifacts are bounded-sample driver fits broadcast as
     literals; the scan-side cost per candidate is m_sub table lookups.
@@ -478,6 +556,7 @@ def ivf_pq_topk(
 
     books = np.asarray(codebooks, dtype=np.float64)
     m_sub, k_codes, sub = books.shape
+    cent = np.asarray(centroids, dtype=np.float64)
     assign1 = _nearest_centroids_udf(centroids, 1)
     corpus = pq_encode(
         emb.select(
@@ -487,28 +566,45 @@ def ivf_pq_topk(
         ),
         books,
         vec_col=vec_col,
+        centroids=cent if residual else None,
+        centroid_col="centroid_id" if residual else None,
     ).select(id_col, "centroid_id", "pq_code")
 
     qpdf = queries.select(id_col, vec_col).toPandas()
     if len(qpdf) == 0:
         raise ValueError("ivf_pq_topk: empty query set")
     qx = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
-    luts = np.stack(
-        [_sub_dists(qx[:, m * sub : (m + 1) * sub], books[m]) for m in range(m_sub)],
-        axis=1,
-    )  # (n_q, m_sub, k_codes) — per-dim accumulation, oracle fold parity
     # probe assignment computed driver-side in numpy from the SAME qpdf
-    # snapshot the LUTs came from — a second Spark evaluation of `queries`
+    # snapshot the LUTs come from — a second Spark evaluation of `queries`
     # could return different rows for non-deterministic inputs and pair a
-    # LUT with the wrong probe set (and costs an extra job + join)
-    cent = np.asarray(centroids, dtype=np.float64)
-    qd = ((qx[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    # LUT with the wrong probe set (and costs an extra job + join).
+    # Distance in the -2*x.c + ||c||^2 per-dim form: the SAME arithmetic
+    # as _nearest_centroids_udf and the SQL twin's cdist, so near-tied
+    # probe selections cannot diverge in the last ulp.
+    n_q, n_cent = len(qx), cent.shape[0]
+    dot = np.zeros((n_q, n_cent))
+    cc = np.zeros(n_cent)
+    for i in range(cent.shape[1]):
+        dot += qx[:, i : i + 1] * cent[None, :, i]
+        cc += cent[:, i] * cent[:, i]
+    probes = np.argsort(-2.0 * dot + cc[None, :], axis=1, kind="stable")[:, :nprobe]
+
+    def _lut(vec):  # (m_sub, k_codes) exact subspace dists, per-dim fold
+        return np.stack(
+            [_sub_dists(vec[None, m * sub : (m + 1) * sub], books[m])[0] for m in range(m_sub)]
+        )
+
+    luts = None if residual else np.stack([_lut(qx[i]) for i in range(n_q)])
     lut_rows = [
         # .item() strips numpy scalar wrappers (createDataFrame rejects them)
         (
             qpdf[id_col].iloc[i].item() if hasattr(qpdf[id_col].iloc[i], "item") else qpdf[id_col].iloc[i],
-            [float(v) for v in luts[i].ravel()],
+            [
+                float(v)
+                for v in (
+                    _lut(qx[i] - cent[int(probes[i][j])]) if residual else luts[i]
+                ).ravel()
+            ],
             int(probes[i][j]),
         )
         for i in range(len(qpdf))
@@ -776,6 +872,7 @@ def ivf_pq_topk_sql(
     nprobe: int = 2,
     src: str = "embeddings",
     query_pred: str = "vec_id < 5",
+    residual: bool = False,
 ) -> str:
     """DuckDB twin of :func:`ivf_pq_topk` — the composed prune-then-ADC
     path with BOTH model artifacts embedded as literals (the ann_ivf /
@@ -783,6 +880,10 @@ def ivf_pq_topk_sql(
     coarse centroid (same -2*x.c + ||c||^2 distance and lowest-id tie
     rule as the Spark UDF), PQ-encoded per subspace, and each query
     scores only the rows in its ``nprobe`` nearest centroid buckets.
+    ``residual=True`` mirrors the residual form: every encode/ADC
+    subvector is ``(x - cvec)`` with the assigned/probed cell's centroid
+    — the subtraction grouping ``((x_i - c_i) - b_i)`` matches the numpy
+    ``r = x - cent`` then ``r - book`` order bit-exactly.
 
     Float-parity contract matches :func:`pq_topk_sql`: every squared
     distance is a SEQUENTIAL ascending-index fold, the ADC total folds
@@ -817,18 +918,28 @@ def ivf_pq_topk_sql(
         cc = f"list_reduce(list_transform(range({dim}), i -> cvec[i+1] * cvec[i+1]), (p, q) -> p + q)"
         return f"(-2.0 * {dot_xc} + {cc})"
 
-    def subdist(vec: str, m: str, j: str) -> str:
-        term = f"(CAST({vec}[({m}) * {sub} + i + 1] AS DOUBLE) - bks[({m}) + 1][({j}) + 1][i + 1])"
+    def elem(vec: str, cvec: str | None):
+        # scalar element expression factory: raw x_idx, or the residual
+        # (x_idx - c_idx) when a centroid column is given
+        if cvec is None:
+            return lambda idx: f"CAST({vec}[{idx}] AS DOUBLE)"
+        return lambda idx: f"(CAST({vec}[{idx}] AS DOUBLE) - {cvec}[{idx}])"
+
+    def subdist(el, m: str, j: str) -> str:
+        idx = f"({m}) * {sub} + i + 1"
+        term = f"({el(idx)} - bks[({m}) + 1][({j}) + 1][i + 1])"
         return f"list_reduce(list_transform(range({sub}), i -> {term} * {term}), (a, b) -> a + b)"
 
+    enc_el = elem("embedding", "cvec" if residual else None)
+    adc_el = elem("q.q_vec", "q.cvec" if residual else None)
     code_expr = (
         f"list_transform(range({m_sub}), m -> "
-        f"list_transform([list_transform(range({k_codes}), j -> {subdist('embedding', 'm', 'j')})], "
+        f"list_transform([list_transform(range({k_codes}), j -> {subdist(enc_el, 'm', 'j')})], "
         f"dl -> CAST(list_position(dl, list_min(dl)) - 1 AS INT))[1])"
     )
     adc = (
         f"list_reduce(list_transform(range({m_sub}), m -> "
-        f"{subdist('q.q_vec', 'm', 'c.codes[m + 1]')}), (a, b) -> a + b)"
+        f"{subdist(adc_el, 'm', 'c.codes[m + 1]')}), (a, b) -> a + b)"
     )
     return f"""
         , __ipq_cent AS (SELECT * FROM (VALUES {cent_rows}) AS t(cid, cvec)),
@@ -836,16 +947,16 @@ def ivf_pq_topk_sql(
         __ipq_codes AS (
             SELECT c_id, centroid_id, {code_expr} AS codes
             FROM (
-                SELECT vec_id AS c_id, embedding, cid AS centroid_id,
+                SELECT vec_id AS c_id, embedding, cid AS centroid_id, cvec,
                        row_number() OVER (PARTITION BY vec_id ORDER BY {cdist("embedding")} ASC, cid ASC) AS rn
                 FROM {src} CROSS JOIN __ipq_cent
             ) CROSS JOIN __ipq_bk
             WHERE rn = 1
         ),
         __ipq_q AS (
-            SELECT vec_id AS q_id, embedding AS q_vec, cid AS centroid_id
+            SELECT vec_id AS q_id, embedding AS q_vec, cid AS centroid_id, cvec
             FROM (
-                SELECT e.vec_id, e.embedding, c.cid,
+                SELECT e.vec_id, e.embedding, c.cid, c.cvec,
                        row_number() OVER (PARTITION BY e.vec_id ORDER BY {cdist("e.embedding")} ASC, c.cid ASC) AS rn
                 FROM {src} e CROSS JOIN __ipq_cent c
                 WHERE {query_pred.replace("vec_id", "e.vec_id")}

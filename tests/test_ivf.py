@@ -173,3 +173,69 @@ def test_pq_encode_and_adc_match_independent_numpy(spark):
             for m in range(m_sub)
         )
         assert abs(row.adc_dist - want) <= 1e-9 * max(1.0, abs(want)), (row, want)
+
+
+def test_residual_ivfpq_recall_beats_or_matches_raw(spark):
+    """Residual IVF-PQ (codes on x - centroid, per-probe LUTs) must reach
+    at least the raw composition's recall@10 vs exact L2 on clustered
+    data — the residual form models the within-cell distribution, which
+    is exactly what raw PQ wastes code budget on when cells are far
+    apart (Jégou et al. 2011 §IV)."""
+    import numpy as np
+
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        _fit_pq_books,
+        _residualize,
+        ivf_pq_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((6, 16)) * 6
+    pts = np.concatenate([c + rng.standard_normal((60, 16)) * 0.5 for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(len(pts)), "embedding": [p.tolist() for p in pts]})
+    emb = spark.createDataFrame(pdf)
+    queries = emb.filter(F.col("vec_id") % 60 == 0)
+    q_ids = [int(r["vec_id"]) for r in queries.select("vec_id").collect()]
+
+    cents = _fit_pq_books(pts, 1, 6, 8, 42)[0]  # 1 "subspace" over full dim = plain k-means
+    raw_books = _fit_pq_books(pts, 8, 16, 8, 42)
+    res_books = _fit_pq_books(_residualize(pts, cents)[0], 8, 16, 8, 42)
+
+    # exact L2 ranking (ADC approximates squared L2 — a cosine baseline
+    # would mix metric error into the quantization comparison)
+    def exact_top(qi):
+        d = ((pts - pts[qi]) ** 2).sum(axis=1)
+        return [i for i in np.argsort(d, kind="stable") if i != qi][:10]
+
+    def recall(approx):
+        num = den = 0
+        for qid in q_ids:
+            truth = set(exact_top(qid))
+            found = set(approx[approx["q_id"] == qid]["c_id"])
+            num += len(truth & found)
+            den += len(truth)
+        return num / den
+
+    raw = recall(ivf_pq_topk(emb, queries, cents, raw_books, k=10, nprobe=3).toPandas())
+    res = recall(ivf_pq_topk(emb, queries, cents, res_books, k=10, nprobe=3, residual=True).toPandas())
+    # measured sweep (this fixture): raw/res = 0.18/0.38 at 4x8 codes,
+    # 0.42/0.60 at 8x16, 0.67/0.75 at 8x32 — residual wins at every budget
+    assert res >= 0.55, f"residual IVF-PQ recall too low: {res:.2f}"
+    assert res >= raw + 0.05, f"residual {res:.2f} should clearly beat raw {raw:.2f}"
+
+
+def test_residual_fit_is_deterministic_and_differs_from_raw(spark):
+    from podcast_audio_feature_extraction_spark.operators.similarity import (
+        fit_ivf_centroids_local,
+        fit_pq_codebooks_local,
+        fit_residual_pq_codebooks_local,
+    )
+    import numpy as np
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    cents = fit_ivf_centroids_local(path, n_centroids=16, iters=8)
+    a = fit_residual_pq_codebooks_local(path, cents, m_sub=8, k_codes=16, iters=8)
+    b = fit_residual_pq_codebooks_local(path, cents, m_sub=8, k_codes=16, iters=8)
+    np.testing.assert_array_equal(a, b)
+    raw = fit_pq_codebooks_local(path, m_sub=8, k_codes=16, iters=8)
+    assert not np.array_equal(a, raw)
