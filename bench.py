@@ -396,6 +396,7 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     from podcast_audio_feature_extraction_spark.operators.similarity import (
         fit_ivf_centroids_local,
         fit_pq_codebooks_local,
+        fit_residual_pq_codebooks_local,
         ivf_pq_topk,
         ivf_topk,
         pq_encode,
@@ -413,6 +414,13 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     codes = pq_encode(e, books).localCheckpoint()  # the stored code index
     _add("ann_pq_topk", lambda: _materialize(pq_topk(codes, eq, books, k=10)))
     _add("ann_ivf_pq_topk", lambda: _materialize(ivf_pq_topk(e, eq, cents, books, k=10, nprobe=4)))
+    res_books = fit_residual_pq_codebooks_local(
+        f"{sf_dir}/embeddings.parquet", cents, m_sub=8, k_codes=16, iters=8
+    )
+    _add(
+        "ann_ivf_pq_res_topk",
+        lambda: _materialize(ivf_pq_topk(e, eq, cents, res_books, k=10, nprobe=4, residual=True)),
+    )
     free_local_checkpoint(codes)
 
     # ---- incremental (delta) feature build: cost must track the touched
