@@ -56,6 +56,7 @@ _API = {
     "ivf_topk": "operators.similarity",
     "fit_pq_codebooks": "operators.similarity",
     "fit_pq_codebooks_local": "operators.similarity",
+    "fit_residual_pq_codebooks_local": "operators.similarity",
     "pq_encode": "operators.similarity",
     "pq_topk": "operators.similarity",
     "ivf_pq_topk": "operators.similarity",
@@ -78,6 +79,8 @@ _API = {
     "delta_rebuild_partitioned": "plans.backfill",
     "commit_rebuilt_partitions": "plans.backfill",
     "touched_buckets": "plans.backfill",
+    "stream_incremental_feature_build": "streaming.delta",
+    "compact_transcript_log": "streaming.delta",
     "enrich_stream_with_features": "streaming.enrich",
     "stateful_asof_enrich": "streaming.stateful",
 }
