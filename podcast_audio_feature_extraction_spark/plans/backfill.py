@@ -261,7 +261,11 @@ def delta_rebuild_partitioned(
     snapshot contract as :func:`build_feature_table_incremental`).
     Returns the rebuilt feature rows WITH conv_bucket, ready for
     :func:`commit_rebuilt_partitions`; unlike the In-predicate form this
-    path never reads — let alone materializes — the untouched ~99%."""
+    path never reads — let alone materializes — the untouched ~99%.
+
+    NULL-keyed delta rows touch nothing: a NULL conv_id belongs to no
+    conversation (:func:`touched_buckets` drops them — the same semantics
+    as the In-predicate/semi-join forms, where NULL matches no key)."""
     from pyspark.sql import functions as F
 
     buckets = touched_buckets(new_turns, n_buckets)
