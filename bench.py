@@ -66,8 +66,14 @@ class _PassWatchdog:
     pass (slowest observed: 142 s for a phase-hit 7 s trial)."""
 
     def __init__(self, spark, limit_s: float = 240.0):
+        import threading
+
         self.spark, self.limit_s = spark, limit_s
         self.cancelled: list[str] = []
+        # serializes the timer's fire against the pass boundary: without
+        # it, a timer firing microseconds after fn() completes would
+        # issue a stale cancelAllJobs into the NEXT pass's job
+        self._lock = threading.Lock()
 
     def run(self, label: str, fn):
         import threading
@@ -77,25 +83,34 @@ class _PassWatchdog:
 
         def _cancel():
             if not done.wait(self.limit_s):
-                fired.append(label)
-                try:
-                    self.spark.sparkContext.cancelAllJobs()
-                except Exception:
-                    pass
+                with self._lock:
+                    if done.is_set():  # fn just finished — stand down
+                        return
+                    fired.append(label)
+                    try:
+                        self.spark.sparkContext.cancelAllJobs()
+                    except Exception:
+                        pass
 
         t = threading.Thread(target=_cancel, daemon=True)
         t.start()
         try:
             fn()
             return True
-        except Exception:
-            if fired:  # wedge path: swallow the cancellation error
+        except Exception as e:
+            # only swallow errors that look like OUR cancellation — a
+            # genuine failure racing the fire must still surface
+            if fired and "cancel" in str(e).lower():
                 self.cancelled.append(label)
                 print(f"WATCHDOG cancelled wedged pass: {label}", file=sys.stderr)
                 return False
             raise
         finally:
             done.set()
+            # block until a concurrently-firing timer has finished its
+            # cancel (it holds the lock), so the next pass starts clean
+            with self._lock:
+                pass
 
 
 def _throttle_probe() -> list[float]:
@@ -115,7 +130,7 @@ def _throttle_probe() -> list[float]:
     return out
 
 
-def run_headline(sf_dir: str, cpus: str) -> dict:
+def run_headline(sf_dir: str, cpus: str) -> tuple[dict, dict]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from podcast_audio_feature_extraction_spark.plans.backfill import flagship
@@ -135,10 +150,12 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
 
     def _record(name: str, ts_: list) -> None:
         # a None trial = watchdog-cancelled wedge (self-describing JSON);
-        # if EVERY trial wedged, record the watchdog limit as the value
+        # if EVERY trial wedged there is NO measurement — record null
+        # (the compact line's total skips it and lists the query under
+        # "wedged" rather than presenting a fabricated number)
         good = [x for x in ts_ if x is not None]
         trials[name] = ts_
-        timings[name] = min(good) if good else watchdog.limit_s
+        timings[name] = min(good) if good else None
 
     def _add(name: str, fn, n: int = 3) -> None:
         # best-of-n damps the sandbox's multi-second throttling phases;
@@ -510,18 +527,25 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     ]
     compact = {
         "metric": "headline_total_sec",
-        "value": round(sum(timings[q] for q in r02_set if q in timings), 3),
+        "value": round(
+            sum(timings[q] for q in r02_set if timings.get(q) is not None), 3
+        ),
         "unit": "sec",
         "trials_per_query": 3,
         "queries": timings,
         "sf": sf_dir,
         "cpus": int(cpus),
         "n_turns": n_turns,
-        "turns_per_sec_backfill": round(n_turns / flagship_s, 1),
+        "turns_per_sec_backfill": (
+            round(n_turns / flagship_s, 1) if flagship_s is not None else None
+        ),
         "stream_rows_per_sec": stream_rows_per_sec,
         "stream_asof_rows_per_sec": stream_asof_rows_per_sec,
         "full_record": "BENCH_full.json",
     }
+    all_wedged = [q for q, v in timings.items() if v is None]
+    if all_wedged:  # only lengthens the line when something actually wedged
+        compact["wedged"] = all_wedged
     full = dict(
         compact,
         trials=trials,
@@ -562,7 +586,7 @@ def _emit(compact: dict, full: dict, filename: str = "BENCH_full.json") -> None:
     print(line)
 
 
-def run_scaling() -> dict:
+def run_scaling() -> tuple[dict, dict]:
     """Same flagship job at two parallelism levels, separate JVMs.
 
     Each JVM is pinned to exactly its core budget with taskset: without

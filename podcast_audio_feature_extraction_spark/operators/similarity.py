@@ -205,20 +205,12 @@ def _nearest_centroids_udf(centroids, nprobe: int):
     @F.pandas_udf(ArrayType(IntegerType()))
     def nearest(vecs: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2. Dot products accumulate
-        # PER DIMENSION IN ASCENDING ORDER (not BLAS matmul): the DuckDB
-        # twin folds list_reduce over dims sequentially, and a different
-        # summation order can flip near-tied centroid assignments in the
-        # last ulp. Stable sort pins the lowest-centroid-id tie rule the
-        # twin's ORDER BY d, cid uses.
-        n, k = len(x), cent.shape[0]
-        dot = np.zeros((n, k))
-        cc = np.zeros(k)
-        for i in range(cent.shape[1]):
-            dot += x[:, i : i + 1] * cent[None, :, i]
-            cc += cent[:, i] * cent[:, i]
-        d = -2.0 * dot + cc[None, :]
-        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 via the shared
+        # _cent_dists (per-dim ascending accumulation — the twin's
+        # sequential fold; NOT BLAS, which flips near-tied assignments
+        # in the last ulp). Stable sort pins the lowest-centroid-id tie
+        # rule the twin's ORDER BY d, cid uses.
+        idx = np.argsort(_cent_dists(x, cent), axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in idx])
 
     return nearest
@@ -291,21 +283,33 @@ def _fit_pq_books(x, m_sub: int, k_codes: int, iters: int, seed: int):
     )
 
 
-def _residualize(x, centroids):
-    """(x - nearest_centroid, assignment) with the SAME distance form and
-    tie rule as :func:`_nearest_centroids_udf` (-2*x.c + ||c||^2, per-dim
-    ascending accumulation, stable first-argmin = lowest centroid id) so
-    fit-time assignments match encode-time and SQL-twin assignments."""
+def _cent_dists(x, cent):
+    """(n, k) centroid distances in the ``-2*x.c + ||c||^2`` form with
+    PER-DIM ASCENDING accumulation — the ONE definition of the coarse
+    quantizer's distance arithmetic. Shared by the assignment UDF,
+    residual fitting, and query-side probe selection so near-tied
+    selections can never diverge in the last ulp between call sites (the
+    DuckDB twin folds the same expression sequentially)."""
     import numpy as np
 
-    cent = np.asarray(centroids, dtype=np.float64)
     n, k = len(x), cent.shape[0]
     dot = np.zeros((n, k))
     cc = np.zeros(k)
     for i in range(cent.shape[1]):
         dot += x[:, i : i + 1] * cent[None, :, i]
         cc += cent[:, i] * cent[:, i]
-    assign = np.argsort(-2.0 * dot + cc[None, :], axis=1, kind="stable")[:, 0]
+    return -2.0 * dot + cc[None, :]
+
+
+def _residualize(x, centroids):
+    """(x - nearest_centroid, assignment) with the SAME distance form and
+    tie rule as :func:`_nearest_centroids_udf` (stable first-argmin =
+    lowest centroid id) so fit-time assignments match encode-time and
+    SQL-twin assignments."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    assign = np.argsort(_cent_dists(x, cent), axis=1, kind="stable")[:, 0]
     return x - cent[assign], assign
 
 
@@ -599,33 +603,31 @@ def ivf_pq_topk(
     # snapshot the LUTs come from — a second Spark evaluation of `queries`
     # could return different rows for non-deterministic inputs and pair a
     # LUT with the wrong probe set (and costs an extra job + join).
-    # Distance in the -2*x.c + ||c||^2 per-dim form: the SAME arithmetic
-    # as _nearest_centroids_udf and the SQL twin's cdist, so near-tied
-    # probe selections cannot diverge in the last ulp.
-    n_q, n_cent = len(qx), cent.shape[0]
-    dot = np.zeros((n_q, n_cent))
-    cc = np.zeros(n_cent)
-    for i in range(cent.shape[1]):
-        dot += qx[:, i : i + 1] * cent[None, :, i]
-        cc += cent[:, i] * cent[:, i]
-    probes = np.argsort(-2.0 * dot + cc[None, :], axis=1, kind="stable")[:, :nprobe]
+    # _cent_dists = the SAME arithmetic as the assignment UDF and the SQL
+    # twin's cdist, so near-tied probe selections cannot diverge.
+    probes = np.argsort(_cent_dists(qx, cent), axis=1, kind="stable")[:, :nprobe]
 
-    def _lut(vec):  # (m_sub, k_codes) exact subspace dists, per-dim fold
+    def _luts_for(xs):  # (n, m_sub, k_codes) exact subspace dists, vectorized
         return np.stack(
-            [_sub_dists(vec[None, m * sub : (m + 1) * sub], books[m])[0] for m in range(m_sub)]
+            [_sub_dists(xs[:, m * sub : (m + 1) * sub], books[m]) for m in range(m_sub)], axis=1
         )
 
-    luts = None if residual else np.stack([_lut(qx[i]) for i in range(n_q)])
+    if residual:
+        # one LUT per (query, probed cell), from the probe's residual —
+        # flattened (n_q * nprobe) batch so _sub_dists stays vectorized
+        res_x = np.concatenate(
+            [qx - cent[probes[:, j]] for j in range(probes.shape[1])], axis=0
+        )  # row i + j*n_q = query i's residual vs its j-th probe
+        res_luts = _luts_for(res_x)
+        luts_at = lambda i, j: res_luts[j * len(qx) + i]  # noqa: E731
+    else:
+        q_luts = _luts_for(qx)
+        luts_at = lambda i, j: q_luts[i]  # noqa: E731
     lut_rows = [
         # .item() strips numpy scalar wrappers (createDataFrame rejects them)
         (
             qpdf[id_col].iloc[i].item() if hasattr(qpdf[id_col].iloc[i], "item") else qpdf[id_col].iloc[i],
-            [
-                float(v)
-                for v in (
-                    _lut(qx[i] - cent[int(probes[i][j])]) if residual else luts[i]
-                ).ravel()
-            ],
+            [float(v) for v in luts_at(i, j).ravel()],
             int(probes[i][j]),
         )
         for i in range(len(qpdf))

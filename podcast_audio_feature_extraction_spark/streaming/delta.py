@@ -16,13 +16,17 @@ IDEMPOTENT without a transactional table format:
 - ``log``   — per-batch append directories ``batch=<id>/`` (overwriting
   the same directory on a re-delivered micro-batch converges to the same
   bytes, so the append needs no two-phase commit);
-- a rebuild's input snapshot is base ∪ log, pruned to the batch's
-  touched buckets; the feature commit is a dynamic partition overwrite
-  (re-committing the same buckets with the same content is idempotent).
+- a rebuild's input snapshot is base merged with log under a
+  LOG-WINS-PER-(conv_id, turn_idx) rule (``_merged_snapshot``), pruned
+  to the batch's touched buckets; the feature commit is a dynamic
+  partition overwrite (re-committing the same buckets with the same
+  content is idempotent).
 
-A crash at ANY point between the log write, the feature commit, and the
-manifest commit therefore re-runs the batch to the identical end state —
-the manifest entry only short-circuits clean re-deliveries.
+A crash at ANY point — between the log write, the feature commit, the
+manifest commit, or mid-compaction — re-runs to the identical end
+state: the key-preference merge collapses any turn that a partial
+compaction left in both tables, so nothing is ever double-counted. The
+manifest entry only short-circuits clean re-deliveries.
 
 ``compact_transcript_log`` folds the log back into base (the LSM merge):
 run it on whatever cadence keeps the log small; rebuild results are
@@ -55,9 +59,37 @@ from podcast_audio_feature_extraction_spark.plans.backfill import (
 
 
 def _bucket_pred(buckets: list[int], n_buckets: int):
-    """Touched-bucket membership as an expression over conv_id (for the
-    small log side, where there is no conv_bucket directory to prune)."""
-    return (F.crc32(F.col("conv_id").cast("string")) % n_buckets).cast("int").isin(buckets)
+    """Touched-bucket membership as an expression over conv_id (the SAME
+    conv_bucket_col expression the table layout uses — for the small log
+    side, where there is no conv_bucket directory to prune)."""
+    return conv_bucket_col(n_buckets).isin(buckets)
+
+
+def _merged_snapshot(base: DataFrame, log: DataFrame) -> DataFrame:
+    """base ∪ log with LOG WINNING per (conv_id, turn_idx) key, latest
+    batch first within the log. This is what makes every path in this
+    module idempotent WITHOUT a transactional table format: if a crash
+    (or a failed log delete after compaction) leaves the same turn in
+    both tables — or in two log batches — the key-preference merge
+    collapses it to one row instead of double-counting it into the
+    feature aggregates. It also gives the log natural UPDATE semantics
+    (a re-sent turn replaces the base version)."""
+    from pyspark.sql.window import Window
+
+    b = base.withColumn("__src", F.lit(1)).withColumn("__b", F.lit(-1).cast("long"))
+    batch_col = F.col("batch").cast("long") if "batch" in log.columns else F.lit(0).cast("long")
+    lg = (
+        log.withColumn("__b", batch_col)
+        .select(*base.columns, "__b")
+        .withColumn("__src", F.lit(0))
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.asc("__src"), F.desc("__b"))
+    return (
+        b.unionByName(lg.select(*b.columns))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__src", "__b", "__rn")
+    )
 
 
 def _rebuild_batch(
@@ -70,8 +102,9 @@ def _rebuild_batch(
     **feature_kwargs,
 ) -> int:
     """Rebuild + commit every bucket the batch touches; returns the
-    touched-bucket count. Snapshot = base (partition-pruned) ∪ log
-    (already includes this batch's directory)."""
+    touched-bucket count. Snapshot = base (partition-pruned) merged with
+    log (already includes this batch's directory) under the
+    log-wins-per-key rule of :func:`_merged_snapshot`."""
     buckets = touched_buckets(batch_stored, n_buckets)
     if not buckets:
         return 0
@@ -81,8 +114,7 @@ def _rebuild_batch(
         .drop("conv_bucket")
     )
     log = spark.read.parquet(log_path).filter(_bucket_pred(buckets, n_buckets))
-    log = log.select(*base.columns)  # drop the batch partition column
-    rebuilt = build_feature_table(base.unionByName(log), **feature_kwargs).select(*FEATURE_COLS)
+    rebuilt = build_feature_table(_merged_snapshot(base, log), **feature_kwargs).select(*FEATURE_COLS)
     commit_rebuilt_partitions(
         rebuilt.withColumn("conv_bucket", conv_bucket_col(n_buckets)), features_path
     )
@@ -130,6 +162,13 @@ def stream_incremental_feature_build(
             "buckets": n_buckets_touched,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        # bound the manifest: the short-circuit only matters for recent
+        # crash-replays (Structured Streaming's checkpoint dedups the
+        # rest), so a forever-running stream must not rewrite an
+        # ever-growing history every batch
+        if len(done) > 1000:
+            for old in sorted(done, key=int)[: len(done) - 1000]:
+                del done[old]
         _commit_manifest(features_path, manifest)
 
     writer = (
@@ -145,16 +184,24 @@ def stream_incremental_feature_build(
 def compact_transcript_log(spark: SparkSession, base_path: str, log_path: str, n_buckets: int = N_CONV_BUCKETS) -> int:
     """LSM merge: fold every log batch into the base transcript's bucket
     partitions (dynamic overwrite of touched buckets only) and clear the
-    log. Returns the number of rows folded in. Feature results are
-    unaffected — base ∪ log is unchanged as a multiset (test-pinned)."""
+    log. Returns the number of log rows folded in. Feature results are
+    unaffected — the merged snapshot is key-identical before and after
+    (test-pinned).
+
+    Crash safety: the merge itself uses the log-wins-per-key rule, so a
+    crash AFTER the base overwrite but BEFORE the log delete leaves the
+    same turns in both tables — which every snapshot reader (and a
+    compaction re-run) collapses back to one row per key; the end state
+    converges, nothing is double-counted. Single-writer contract: run
+    this from the stream's own sink thread or while the stream is
+    stopped — it deletes log directories an in-flight rebuild could
+    otherwise be reading."""
     import glob
     import shutil
 
     if not glob.glob(os.path.join(log_path, "batch=*")):
         return 0
     log = spark.read.parquet(log_path)
-    base_cols = [c for c in log.columns if c != "batch"]
-    log = log.select(*base_cols)
     n_rows = log.count()
     if n_rows == 0:
         return 0
@@ -164,8 +211,17 @@ def compact_transcript_log(spark: SparkSession, base_path: str, log_path: str, n
         .filter(F.col("conv_bucket").isin(buckets))
         .drop("conv_bucket")
     )
-    merged = base.unionByName(log).withColumn("conv_bucket", conv_bucket_col(n_buckets))
+    merged = _merged_snapshot(base, log).withColumn("conv_bucket", conv_bucket_col(n_buckets))
     commit_rebuilt_partitions(merged, base_path)
+    failed = []
     for d in glob.glob(os.path.join(log_path, "batch=*")):
-        shutil.rmtree(d, ignore_errors=True)
+        try:
+            shutil.rmtree(d)
+        except OSError:
+            failed.append(d)  # harmless: key-preference merge dedupes survivors
+    if failed:
+        import sys
+
+        print(f"compact_transcript_log: {len(failed)} log dirs not deleted "
+              f"(will be deduped by the merge and retried next compaction)", file=sys.stderr)
     return n_rows

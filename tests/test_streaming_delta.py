@@ -152,3 +152,40 @@ def test_stream_delta_redelivery_is_noop(spark, transcripts_pdf, tmp_path):
     _rebuild_batch(spark, stored, paths["base"], paths["log"], paths["features"], N_BUCKETS)
     got = _canon(spark.read.parquet(paths["features"]))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_compaction_crash_replay_does_not_double_count(spark, transcripts_pdf, tmp_path):
+    """Simulate a crash AFTER the compaction's base overwrite but BEFORE
+    the log delete: the same turns sit in base AND log. The log-wins-per-
+    key merge must collapse them — a subsequent rebuild and a compaction
+    re-run both converge to the same (non-duplicated) state."""
+    from podcast_audio_feature_extraction_spark.schema import TRANSCRIPT_SCHEMA
+    from podcast_audio_feature_extraction_spark.streaming.delta import _rebuild_batch
+
+    pdf, paths = _mk_base(spark, transcripts_pdf, tmp_path)
+    (batch,) = _delta_batches(pdf, n_batches=1)
+    bdf = spark.createDataFrame(batch, schema=TRANSCRIPT_SCHEMA)
+    bdir = f"{paths['log']}/batch=0"
+    bdf.write.mode("overwrite").parquet(bdir)
+    stored = spark.read.parquet(bdir)
+    _rebuild_batch(spark, stored, paths["base"], paths["log"], paths["features"], N_BUCKETS)
+    want = _canon(spark.read.parquet(paths["features"]))
+    snapshot_rows = len(pdf) + len(batch)
+
+    # "crashed" compaction: base was overwritten with base ∪ log ...
+    n = compact_transcript_log(spark, paths["base"], paths["log"], n_buckets=N_BUCKETS)
+    assert n == len(batch)
+    # ... but the log delete "failed": put the batch dir back
+    bdf.write.mode("overwrite").parquet(bdir)
+
+    # a rebuild over the duplicated state must not double-count
+    stored = spark.read.parquet(bdir)
+    _rebuild_batch(spark, stored, paths["base"], paths["log"], paths["features"], N_BUCKETS)
+    got = _canon(spark.read.parquet(paths["features"]))
+    pd.testing.assert_frame_equal(got, want)
+
+    # and a compaction re-run converges: base stays key-identical
+    compact_transcript_log(spark, paths["base"], paths["log"], n_buckets=N_BUCKETS)
+    base_rows = _canon_transcript(spark.read.parquet(paths["base"]).drop("conv_bucket"))
+    assert len(base_rows) == snapshot_rows
+    assert not base_rows.duplicated(["conv_id", "turn_idx"]).any()
