@@ -189,3 +189,38 @@ def test_compaction_crash_replay_does_not_double_count(spark, transcripts_pdf, t
     base_rows = _canon_transcript(spark.read.parquet(paths["base"]).drop("conv_bucket"))
     assert len(base_rows) == snapshot_rows
     assert not base_rows.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_merged_snapshot_log_wins_per_key(spark):
+    """_merged_snapshot semantics pinned directly: result keys = union of
+    keys; on overlap the log row wins; within the log the highest batch
+    id wins."""
+    from podcast_audio_feature_extraction_spark.streaming.delta import _merged_snapshot
+
+    base = spark.createDataFrame(
+        [("c1", 0, "base00"), ("c1", 1, "base01"), ("c2", 0, "base20")],
+        "conv_id string, turn_idx int, text string",
+    )
+    log = spark.createDataFrame(
+        [("c1", 1, "log-b0", 0), ("c1", 1, "log-b2", 2), ("c1", 2, "log-new", 1)],
+        "conv_id string, turn_idx int, text string, batch int",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in _merged_snapshot(base, log).collect()
+    }
+    assert got == {
+        ("c1", 0): "base00",     # base-only key kept
+        ("c1", 1): "log-b2",     # log wins over base; batch 2 over batch 0
+        ("c1", 2): "log-new",    # log-only key kept
+        ("c2", 0): "base20",
+    }
+    # a log with no batch column (single-batch caller) still merges
+    log2 = spark.createDataFrame(
+        [("c2", 0, "log-upd")], "conv_id string, turn_idx int, text string"
+    )
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in _merged_snapshot(base, log2).collect()
+    }
+    assert got2[("c2", 0)] == "log-upd" and len(got2) == 3
