@@ -243,3 +243,35 @@ def test_partitioned_delta_prunes_partitions(spark, transcripts_pdf, tmp_path):
         r["conv_bucket"] for r in rebuilt.select("conv_bucket").distinct().collect()
     }
     assert len(touched) < n_parts  # genuinely pruned
+
+
+def test_partitioned_delta_edge_cases(spark, transcripts_pdf, tmp_path):
+    """Empty delta -> empty rebuild (no error, nothing to commit);
+    oversized touched set -> loud ValueError (full rebuild territory);
+    NULL conv_id delta rows touch nothing."""
+    import pandas as pd
+    import pytest
+
+    from podcast_audio_feature_extraction_spark.plans.backfill import (
+        delta_rebuild_partitioned,
+        touched_buckets,
+        write_conv_partitioned,
+    )
+    from podcast_audio_feature_extraction_spark.schema import TRANSCRIPT_SCHEMA
+
+    tdir = str(tmp_path / "transcript")
+    sdf = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    write_conv_partitioned(sdf, tdir, n_buckets=16)
+
+    empty = sdf.filter("1 = 0")
+    assert delta_rebuild_partitioned(spark, tdir, empty, n_buckets=16).count() == 0
+
+    with pytest.raises(ValueError, match="full rebuild"):
+        touched_buckets(sdf, n_buckets=16, max_collect=3)
+
+    # TRANSCRIPT_SCHEMA pins conv_id non-nullable, so a NULL-keyed delta
+    # needs an explicitly nullable schema (e.g. an upstream join output)
+    null_key = spark.createDataFrame(
+        [(None, 0)], "conv_id string, turn_idx int"
+    )
+    assert touched_buckets(null_key, n_buckets=16) == []
