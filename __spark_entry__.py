@@ -897,10 +897,17 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/T1 full-fidelity analog: multi-field BM25 (seg_words^2 boost,
     best-fields max) over the segment index, reference search.py:174-214."""
     _utc(spark)
-    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk, conv_dimension
+    from podcast_audio_feature_extraction_spark.operators.search import bm25_topk_fused
 
     t = load_transcript(spark, sf_dir)
-    return bm25_topk(build_segments(t), "click error purchase", conv_dimension(t), k=100)
+    # same query, better plan (guide §8): the output is (seg_id, bm25)
+    # only, so the segment TEXT never needs to be materialized — the
+    # fused form shuffles per-(row, window) integer sums instead of the
+    # windows' concatenated text. Score-identity with
+    # bm25_topk(build_segments(t), q, conv_dimension(t)) is test-pinned
+    # (test_search: fused == topk) and oracle-checked (the DuckDB twin
+    # still scores the materialized segment table).
+    return bm25_topk_fused(t, "click error purchase", k=100)
 
 
 def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

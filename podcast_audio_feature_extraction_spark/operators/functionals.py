@@ -88,6 +88,17 @@ def window_functionals(
         )
         .withColumn("__x", (F.col("__us") - F.col("__ws_s") * F.lit(1_000_000)) / F.lit(1e6))
     )
+    # Shuffle the RAW expanded rows to the group key before aggregating.
+    # (conv, window) cardinality is within ~2x of the row count for
+    # conversational data (mean inter-turn gap >> hop), so map-side
+    # partial aggregation reduces nothing while its per-group buffer (incl.
+    # the collect_list array) is far wider than the raw row — without this
+    # the Exchange carries serialized partial buffers ~10x the raw bytes
+    # (guide §2.3: shuffle fewer bytes; measured ~2x on the 88-col grid).
+    # The explicit hash partitioning satisfies the aggregation's required
+    # distribution, so both aggregation passes run where the rows land and
+    # no buffer-carrying Exchange is ever planned.
+    expanded = expanded.repartition(conv_col, "__ws_s")
     v, x = F.col("__v"), F.col("__x")
     mean = F.avg(v)
     std = F.coalesce(F.stddev_pop(v), F.lit(0.0))
@@ -148,23 +159,44 @@ GRID_STATS = (
 _GRID_PCTS = {"p20": 0.2, "median": 0.5, "p80": 0.8}
 
 
-def _exact_pct_col(sorted_col: str, q: float):
+def _exact_pct_col(sorted_col, q):
     """Exact linear-interpolation percentile read from a pre-sorted value
     array column, bit-identical to Spark's ``F.percentile`` (and therefore
     to the DuckDB twin's ``quantile_cont``): position q*(n-1), blend
     ``lower*(1-frac) + higher*frac``, and the value returned DIRECTLY when
     both neighbors are equal (Spark's counts-based implementation lands on
     one unique key there; re-blending equal values perturbs the last ulp:
-    0.1*(1-f) + 0.1*f != 0.1 exactly)."""
-    arr = F.col(sorted_col)
+    0.1*(1-f) + 0.1*f != 0.1 exactly). ``q`` may be a float literal or a
+    Column (e.g. a higher-order-function lambda variable)."""
+    arr = F.col(sorted_col) if isinstance(sorted_col, str) else sorted_col
+    qc = F.lit(q) if isinstance(q, float) else q
     n = F.size(arr)
-    pos = F.lit(q) * (n - F.lit(1)).cast("double")
+    pos = qc * (n - F.lit(1)).cast("double")
     lo = F.floor(pos).cast("int")
     frac = pos - lo.cast("double")
     lov = F.get(arr, lo)  # 0-based; null when the array is empty
     hiv = F.get(arr, F.least(lo + F.lit(1), n - F.lit(1)))
     return F.when(
         n > 0, F.when(lov == hiv, lov).otherwise(lov * (F.lit(1.0) - frac) + hiv * frac)
+    )
+
+
+def _exact_pcts_col(sorted_col, qs: list[float]):
+    """All requested percentile points of one pre-sorted array as ONE
+    small expression: ``transform(array(q...), q -> interpolate(arr, q))``.
+
+    Why a higher-order function and not one :func:`_exact_pct_col` tree
+    per point: the per-point trees repeat the size/floor/get subtrees ~8x
+    each, and on the 88-column grid the resulting whole-stage-codegen
+    method exceeded the JVM's 64 KB bytecode limit — codegen failed
+    ("Code grows beyond 64 KB", observed in the round-6 oracle run) and
+    the ENTIRE post-aggregation stage silently fell back to interpreted
+    expression evaluation (~3s of the row). The transform form is one
+    expression node per descriptor, so the stage compiles; the lambda
+    body is the IDENTICAL arithmetic (bit-parity preserved)."""
+    return F.transform(
+        F.array(*[F.lit(q) for q in qs]),
+        lambda q: _exact_pct_col(sorted_col, q),
     )
 
 
@@ -236,6 +268,14 @@ def functional_grid(
         .withColumn("__x", (F.col("__us") - F.col("__ws_s") * F.lit(1_000_000)) / F.lit(1e6))
     )
 
+    # raw-row shuffle before the aggregation — same rationale as
+    # window_functionals: sparse windows make partial aggregation pure
+    # buffer inflation (115 partial slots incl. 8 array buffers per
+    # ~1-row group on the 88-col grid); shuffling the 10-column raw rows
+    # instead and aggregating once where they land measurably halves the
+    # row (plan: Exchange moves below the aggregation pair).
+    expanded = expanded.repartition(conv_col, "__ws_s")
+
     pcts_wanted = [s for s in stats if s in _GRID_PCTS]
     # prange (the eGeMAPS pctlrange0-2 analog) reads p20/p80 from the same
     # fused percentile buffer, pulling them in if not separately requested
@@ -243,7 +283,36 @@ def functional_grid(
         pcts_wanted += [s for s in ("p20", "p80") if s not in pcts_wanted]
     aggs = [F.count(F.lit(1)).alias("n")]
     post: dict[str, object] = {}
+    sort_cols: dict[str, object] = {}
+    pct_arr_cols: dict[str, object] = {}
     x = F.col("__x")
+    if pcts_wanted and approx_pct_accuracy is None:
+        # exact mode: ONE typed buffer for ALL descriptors — collect the
+        # row's descriptor tuple once, slice per-descriptor value arrays
+        # out at read time (transform + null-filter reproduces each
+        # collect_list(c) multiset exactly: struct rows are never null,
+        # so null descriptor values surface as null elements and are
+        # filtered, matching collect_list's null-skipping). Eight
+        # independent collect_list buffers were the grid's dominant cost
+        # (per-group allocate/serialize/merge of 8 typed buffers at
+        # ~1-row group cardinality — measured 5.5 s of the 6 s row);
+        # one struct buffer amortizes that machinery 8x and the
+        # per-element slicing is a codegen-side array pass.
+        aggs.append(
+            F.collect_list(F.struct(*[F.col(c).alias(c) for c in val_cols])).alias("__rows")
+        )
+        def _slice(col_name: str):
+            # factory, NOT a default-arg lambda: a 2-arg lambda would be
+            # bound as (element, index) by the higher-order function
+            return F.transform(F.col("__rows"), lambda s: s[col_name])
+
+        for c in val_cols:
+            sort_cols[f"__{c}_sorted"] = F.sort_array(
+                F.filter(_slice(c), lambda e: e.isNotNull())
+            )
+            pct_arr_cols[f"__{c}_pcts"] = _exact_pcts_col(
+                f"__{c}_sorted", [_GRID_PCTS[s] for s in pcts_wanted]
+            )
     for c in val_cols:
         v = F.col(c)
         mean = F.avg(v)
@@ -260,20 +329,22 @@ def functional_grid(
             aggs.append(F.max(v).alias(f"{c}_max"))
         if pcts_wanted:
             if approx_pct_accuracy is None:
-                # exact mode: ONE sorted-array buffer per descriptor
-                # (sort_array(collect_list)) + interpolation at read time —
-                # measured ~30% faster than F.percentile's per-group
-                # value->count OpenHashMap at the same memory class
-                # (primitive array append + one terminal sort beats hash
-                # upserts on mostly-unique doubles). The interpolation
-                # reproduces Spark's Percentile.getPercentile BIT-EXACTLY
-                # (lower*(1-frac) + higher*frac, and lower returned
-                # DIRECTLY when lower==higher — the naive lov+(hiv-lov)*frac
-                # and even the blend form diverge in the last ulp on
-                # duplicates), so DuckDB quantile_cont parity is unchanged;
-                # pinned by test_exact_pct_matches_builtin_percentile.
-                aggs.append(F.sort_array(F.collect_list(v)).alias(f"__{c}_sorted"))
-                pctv = {s: _exact_pct_col(f"__{c}_sorted", _GRID_PCTS[s]) for s in pcts_wanted}
+                # exact mode: the shared struct buffer above serves every
+                # descriptor; the per-descriptor sorted array is a
+                # read-time slice, and all of its percentile points come
+                # from ONE _exact_pcts_col transform (hoisted to a real
+                # column) — see that function's docstring for why the
+                # per-point expression trees were a codegen breaker. The
+                # interpolation reproduces Spark's Percentile.getPercentile
+                # BIT-EXACTLY (lower*(1-frac) + higher*frac, and lower
+                # returned DIRECTLY when lower==higher — the naive
+                # lov+(hiv-lov)*frac and even the blend form diverge in the
+                # last ulp on duplicates), so DuckDB quantile_cont parity
+                # is unchanged; pinned by
+                # test_exact_pct_matches_builtin_percentile.
+                pctv = {
+                    s: F.col(f"__{c}_pcts")[pcts_wanted.index(s)] for s in pcts_wanted
+                }
                 for s in pcts_wanted:
                     if s in stats:
                         post[f"{c}_{s}"] = _r(pctv[s]) + F.lit(0.0)
@@ -334,6 +405,13 @@ def functional_grid(
                     ).alias(f"{c}_kurt")
                 )
     out = expanded.groupBy(conv_col, "__ws_s").agg(*aggs)
+    if sort_cols:
+        # hoist each sorted slice, then its percentile-point array, to
+        # real columns in their own projections: each is referenced
+        # multiple times downstream, and CollapseProject would otherwise
+        # inline the transform+filter+sort once per reference
+        out = out.withColumns(sort_cols)
+        out = out.withColumns(pct_arr_cols)
     if post:
         out = out.withColumns(post)
     return out.select(

@@ -30,13 +30,13 @@ def build_segments(
     exact_speakers: bool = True,
     skew_salts: int | None = None,
 ) -> DataFrame:
-    """``exact_speakers=False`` switches seg_speakers to
-    approx_count_distinct: the exact form plans a 2-phase expand (one extra
-    shuffle on (conv, window, role)); the HLL sketch is a single map-side
-    partial aggregate — the 100 TB default when a ±2% speaker count is
-    acceptable (it usually is: the reference's seg_speakers feeds a
-    boolean-ish mood feature). Kept exact by default for reference parity
-    and the DuckDB oracle."""
+    """``exact_speakers=True`` (default) counts speakers exactly via
+    ``size(collect_set(role))`` — a single-pass aggregate whose state is
+    the distinct role set (bounded by the role vocabulary).
+    ``exact_speakers=False`` switches to approx_count_distinct (HLL,
+    constant state) for corpora whose per-window speaker cardinality is
+    itself huge; for the reference's use (a boolean-ish mood feature)
+    either is fine."""
     win = F.window(F.col(ts_col), length, hop)
     if skew_salts and not exact_speakers:
         # the salted branch merges per-salt role SETS (array_distinct over
@@ -81,7 +81,26 @@ def build_segments(
         ordered = F.sort_array(
             F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col("turn_idx"), F.col("text")))
         )
-        speakers = F.count_distinct("role") if exact_speakers else F.approx_count_distinct("role")
+        # exact speakers via size(collect_set): identical to
+        # count(DISTINCT role) (both skip NULLs), but a single-pass
+        # aggregate — count_distinct plans a 2-phase Expand that
+        # DUPLICATES every input row (text payload included) and adds a
+        # second Exchange on (conv, win, role); with the holistic text
+        # collect in the same agg that doubled the shuffled bytes
+        # (measured ~25% off the segments row). collect_set's per-group
+        # state is the distinct role set — bounded by the role vocabulary,
+        # scale-safe.
+        speakers = (
+            F.size(F.collect_set("role")).cast("long")
+            if exact_speakers
+            else F.approx_count_distinct("role")
+        )
+        # NOTE: unlike the numeric functional grid, this aggregation keeps
+        # map-side partial aggregation: for a HOT (conv, window) group the
+        # partial collect is the parallelism (32 map tasks build text
+        # buffers concurrently; the reducer merges buffers instead of
+        # collecting 3M raw rows serially — measured 2.5x on the viral
+        # burst bench when partials were removed).
         grouped = df.groupBy(F.col(conv_col), win.alias("win")).agg(
             F.array_join(F.transform(ordered, lambda s: s["text"]), " ").alias("seg_words"),
             F.count(F.lit(1)).alias("n_turns"),

@@ -32,6 +32,16 @@ def cosine_col(a: Column, b: Column, round_digits: int = 6) -> Column:
     return F.round(dot_col(a, b) / (norm_col(a) * norm_col(b)), round_digits)
 
 
+def _cosine_hoisted(q_vec: Column, c_vec: Column, q_norm: Column, c_norm: Column,
+                    round_digits: int = 6) -> Column:
+    """cosine_col with the two norms read from pre-computed columns —
+    BIT-IDENTICAL values (same expressions, same q*c product order), but
+    each side's norm fold runs once per ROW instead of once per candidate
+    PAIR (a corpus vector is a candidate for every query probing its
+    bucket, so the per-pair form re-folds the same norm ~n_q times)."""
+    return F.round(dot_col(q_vec, c_vec) / (q_norm * c_norm), round_digits)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -42,12 +52,22 @@ def brute_force_topk(
     """Exact cosine top-k per query vector (broadcast the small query side;
     the corpus side streams — one pass, no shuffle until the per-query
     top-k, which TakeOrderedAndProject keeps tiny)."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("__q_norm", norm_col(F.col("q_vec")))
+    c = emb.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("__c_norm", norm_col(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select(
+            "q_id",
+            "c_id",
+            _cosine_hoisted(
+                F.col("q_vec"), F.col("c_vec"), F.col("__q_norm"), F.col("__c_norm")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
@@ -122,12 +142,22 @@ def lsh_topk(
         bucket = plane_bucket_col(vec_col, planes)
     else:
         bucket = sign_bucket_col(vec_col, n_bits)
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket"))
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), bucket.alias("bucket"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket")
+    ).withColumn("__q_norm", norm_col(F.col("q_vec")))
+    c = emb.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), bucket.alias("bucket")
+    ).withColumn("__c_norm", norm_col(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select(
+            "q_id",
+            "c_id",
+            _cosine_hoisted(
+                F.col("q_vec"), F.col("c_vec"), F.col("__q_norm"), F.col("__c_norm")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
@@ -237,16 +267,22 @@ def ivf_topk(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("centroid_id"),
-    )
+    ).withColumn("__c_norm", norm_col(F.col("c_vec")))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(probe(F.col(vec_col))).alias("centroid_id"),
-    )
+    ).withColumn("__q_norm", norm_col(F.col("q_vec")))
     scored = (
         c.join(F.broadcast(q), "centroid_id")
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select(
+            "q_id",
+            "c_id",
+            _cosine_hoisted(
+                F.col("q_vec"), F.col("c_vec"), F.col("__q_norm"), F.col("__c_norm")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
@@ -482,6 +518,53 @@ def pq_encode(
     return emb.withColumn(out_col, encode_res(F.col(vec_col), F.col(centroid_col)))
 
 
+def _assign_encode_udf(centroids, codebooks, residual: bool):
+    """ONE Arrow crossing for the IVF-PQ corpus side: centroid assignment
+    AND PQ encoding of the same vector batch in a single pandas UDF. The
+    unfused form (assign1 UDF feeding pq_encode's UDF) ships every corpus
+    vector across the JVM<->Python boundary twice because the second UDF
+    depends on the first's output (two ArrowEvalPython nodes). Arithmetic
+    is IDENTICAL: the same _cent_dists / _sub_dists helpers, the same
+    stable-argmin tie rules, the same residual grouping."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m_sub, _, sub = books.shape
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("centroid_id", IntegerType()),
+                StructField("pq_code", ArrayType(IntegerType())),
+            ]
+        )
+    )
+    def assign_encode(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame(
+                {"centroid_id": pd.Series([], dtype="int32"), "pq_code": pd.Series([], dtype=object)}
+            )
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.shape[1] != m_sub * sub:
+            raise ValueError(
+                f"pq_encode: vectors are {x.shape[1]}-dim but the codebooks were fit "
+                f"for {m_sub * sub} dims ({m_sub} subspaces x {sub}) — silently "
+                "truncating would corrupt every distance"
+            )
+        assign = np.argsort(_cent_dists(x, cent), axis=1, kind="stable")[:, 0]
+        enc_in = x - cent[assign] if residual else x
+        codes = np.empty((len(x), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            codes[:, m] = _sub_dists(enc_in[:, m * sub : (m + 1) * sub], books[m]).argmin(axis=1)
+        return pd.DataFrame(
+            {"centroid_id": assign.astype("int32"), "pq_code": [row.tolist() for row in codes]}
+        )
+
+    return assign_encode
+
+
 def pq_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -582,18 +665,14 @@ def ivf_pq_topk(
     books = np.asarray(codebooks, dtype=np.float64)
     m_sub, k_codes, sub = books.shape
     cent = np.asarray(centroids, dtype=np.float64)
-    assign1 = _nearest_centroids_udf(centroids, 1)
-    corpus = pq_encode(
-        emb.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.element_at(assign1(F.col(vec_col)), 1).alias("centroid_id"),
-        ),
-        books,
-        vec_col=vec_col,
-        centroids=cent if residual else None,
-        centroid_col="centroid_id" if residual else None,
-    ).select(id_col, "centroid_id", "pq_code")
+    # fused assignment+encode: one Arrow crossing of the corpus vectors
+    # instead of two dependent UDFs (see _assign_encode_udf)
+    fused = _assign_encode_udf(cent, books, residual)
+    corpus = emb.select(F.col(id_col), fused(F.col(vec_col)).alias("__ae")).select(
+        id_col,
+        F.col("__ae.centroid_id").alias("centroid_id"),
+        F.col("__ae.pq_code").alias("pq_code"),
+    )
 
     qpdf = queries.select(id_col, vec_col).toPandas()
     if len(qpdf) == 0:

@@ -70,13 +70,20 @@ def test_segments_words_ordered_by_ts_turnidx(spark):
     assert first["seg_id"].startswith("c_")
 
 
-def test_segments_approx_speakers_drops_a_shuffle(spark, transcripts_sdf):
+def test_segments_exact_speakers_single_pass(spark, transcripts_sdf):
+    # r6: exact speakers moved from count(DISTINCT role) to
+    # size(collect_set(role)) — identical values, but single-pass: no
+    # 2-phase Expand (which duplicated every text row) and no extra
+    # Exchange over the approx form.
     exact_plan = build_segments(transcripts_sdf)._jdf.queryExecution().executedPlan().toString()
     approx_plan = (
         build_segments(transcripts_sdf, exact_speakers=False)._jdf.queryExecution().executedPlan().toString()
     )
-    assert approx_plan.count("Exchange") < exact_plan.count("Exchange")
-    # values stay sane: low-cardinality role column -> HLL is exact here
+    assert exact_plan.count("Exchange") == approx_plan.count("Exchange")
+    # exactly ONE Expand each: the sliding time-window replication.
+    # count_distinct's 2-phase aggregation would add a second one.
+    assert exact_plan.count("Expand") == approx_plan.count("Expand")
+    # values: low-cardinality role column -> exact == HLL here
     a = build_segments(transcripts_sdf, exact_speakers=False).toPandas()
     e = build_segments(transcripts_sdf).toPandas()
     m = a.sort_values("seg_id").reset_index(drop=True), e.sort_values("seg_id").reset_index(drop=True)
