@@ -80,6 +80,19 @@ class _PassWatchdog:
 
         done = threading.Event()
         fired = []
+        # scope the cancellation to THIS pass's jobs: cancelAllJobs is
+        # SparkContext-wide, so a timer racing the pass boundary (or any
+        # future concurrent-jobs caller) could kill an innocent job and
+        # have its failure misclassified as a wedge. setJobGroup is
+        # thread-local — fn()'s jobs (same thread) join the group; the
+        # timer cancels only the group.
+        group = f"bench-wd-{label}-{time.monotonic_ns()}"
+        sc = self.spark.sparkContext
+        # interruptOnCancel=True: the r5-diagnosed wedge is a task thread
+        # blocked in a socket read (Arrow worker lost-wakeup) — a plain
+        # kill flag is only polled between records, the interrupt reaches
+        # the blocked read
+        sc.setJobGroup(group, f"bench pass: {label}", interruptOnCancel=True)
 
         def _cancel():
             if not done.wait(self.limit_s):
@@ -88,7 +101,7 @@ class _PassWatchdog:
                         return
                     fired.append(label)
                     try:
-                        self.spark.sparkContext.cancelAllJobs()
+                        sc.cancelJobGroup(group)
                     except Exception:
                         pass
 
@@ -107,6 +120,7 @@ class _PassWatchdog:
             raise
         finally:
             done.set()
+            sc.clearJobGroup()
             # block until a concurrently-firing timer has finished its
             # cancel (it holds the lock), so the next pass starts clean
             with self._lock:

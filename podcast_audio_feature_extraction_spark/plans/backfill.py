@@ -228,7 +228,18 @@ def touched_buckets(new_turns: DataFrame, n_buckets: int = N_CONV_BUCKETS, max_c
     table instead of enumerating partitions)."""
     import zlib
 
-    rows = new_turns.select("conv_id").distinct().limit(max_collect + 1).collect()
+    from pyspark.sql import functions as F
+
+    # NULL keys are dropped from the RESULT anyway — filtering before the
+    # limit keeps a NULL row from spuriously tripping the max_collect
+    # bound when the delta has exactly max_collect real conversations
+    rows = (
+        new_turns.select("conv_id")
+        .filter(F.col("conv_id").isNotNull())
+        .distinct()
+        .limit(max_collect + 1)
+        .collect()
+    )
     if len(rows) > max_collect:
         raise ValueError(
             f"delta touches > {max_collect} conversations — use a full rebuild "

@@ -83,7 +83,15 @@ def _merged_snapshot(base: DataFrame, log: DataFrame) -> DataFrame:
         .select(*base.columns, "__b")
         .withColumn("__src", F.lit(0))
     )
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.asc("__src"), F.desc("__b"))
+    # final struct key: two rows in the SAME log batch sharing
+    # (conv_id, turn_idx) — out-of-contract input — would otherwise tie,
+    # and a crash-replay rebuild could commit different content than the
+    # first run; ordering on the remaining columns makes the winner
+    # deterministic (idempotence holds even for dirty inputs)
+    rest = F.struct(*[c for c in base.columns if c not in ("conv_id", "turn_idx")])
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.asc("__src"), F.desc("__b"), F.asc(rest)
+    )
     return (
         b.unionByName(lg.select(*b.columns))
         .withColumn("__rn", F.row_number().over(w))
@@ -108,11 +116,17 @@ def _rebuild_batch(
     buckets = touched_buckets(batch_stored, n_buckets)
     if not buckets:
         return 0
-    base = (
-        spark.read.parquet(base_path)
-        .filter(F.col("conv_bucket").isin(buckets))
-        .drop("conv_bucket")
-    )
+    try:
+        base = (
+            spark.read.parquet(base_path)
+            .filter(F.col("conv_bucket").isin(buckets))
+            .drop("conv_bucket")
+        )
+    except Exception:
+        # fresh pipeline: no base table written yet (write_conv_partitioned
+        # bootstrap hasn't run) — treat as empty; the batch schema IS the
+        # transcript schema, so the merge degenerates to log-only
+        base = spark.createDataFrame([], batch_stored.schema)
     log = spark.read.parquet(log_path).filter(_bucket_pred(buckets, n_buckets))
     rebuilt = build_feature_table(_merged_snapshot(base, log), **feature_kwargs).select(*FEATURE_COLS)
     commit_rebuilt_partitions(
@@ -141,6 +155,11 @@ def stream_incremental_feature_build(
     overwrite the feature table, (4) record the batch in the feature
     manifest. Re-delivered batchIds short-circuit at (4)'s record; every
     earlier step is idempotent on its own (module docstring).
+
+    ``base_path`` is normally bootstrapped with
+    :func:`write_conv_partitioned` before the stream starts; a missing or
+    not-yet-written base is treated as empty (the first batches build
+    features from the log alone).
     """
     os.makedirs(log_path, exist_ok=True)
     os.makedirs(features_path, exist_ok=True)
@@ -201,16 +220,27 @@ def compact_transcript_log(spark: SparkSession, base_path: str, log_path: str, n
 
     if not glob.glob(os.path.join(log_path, "batch=*")):
         return 0
-    log = spark.read.parquet(log_path)
+    # NULL conv_id touches nothing (same rule as touched_buckets and the
+    # rebuild's bucket predicate): folding NULL-keyed rows into base's
+    # __HIVE_DEFAULT_PARTITION__ via dynamic overwrite would REPLACE that
+    # partition without ever reading it. Out-of-contract rows
+    # (TRANSCRIPT_SCHEMA pins conv_id non-null) are dropped when their
+    # log directory is cleared, not merged.
+    log = spark.read.parquet(log_path).filter(F.col("conv_id").isNotNull())
     n_rows = log.count()
     if n_rows == 0:
         return 0
     buckets = touched_buckets(log, n_buckets)
-    base = (
-        spark.read.parquet(base_path)
-        .filter(F.col("conv_bucket").isin(buckets))
-        .drop("conv_bucket")
-    )
+    try:
+        base = (
+            spark.read.parquet(base_path)
+            .filter(F.col("conv_bucket").isin(buckets))
+            .drop("conv_bucket")
+        )
+    except Exception:
+        # fresh pipeline: compaction CREATES the base from the log alone
+        # (same bootstrap rule as _rebuild_batch)
+        base = spark.createDataFrame([], log.drop("batch").schema)
     merged = _merged_snapshot(base, log).withColumn("conv_bucket", conv_bucket_col(n_buckets))
     commit_rebuilt_partitions(merged, base_path)
     failed = []

@@ -275,3 +275,11 @@ def test_partitioned_delta_edge_cases(spark, transcripts_pdf, tmp_path):
         [(None, 0)], "conv_id string, turn_idx int"
     )
     assert touched_buckets(null_key, n_buckets=16) == []
+
+    # r6 (ADVICE): a NULL row must not consume max_collect budget — a
+    # delta with exactly max_collect real conversations plus a NULL row
+    # must still enumerate, not raise
+    three_plus_null = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), (None, 0)], "conv_id string, turn_idx int"
+    )
+    assert len(touched_buckets(three_plus_null, n_buckets=16, max_collect=3)) <= 3

@@ -1,7 +1,10 @@
 """Unit tests for bench.py's _PassWatchdog (the wedged-Arrow-pass guard).
 
-No Spark needed: the watchdog only touches the session to fire
-cancelAllJobs, so a stub records whether cancellation was requested.
+No Spark needed: the watchdog only touches the session to scope a job
+group and fire its cancellation, so a stub records whether (and which
+group) cancellation was requested — r6: cancellation is job-group-scoped
+(cancelAllJobs was SparkContext-wide and could kill an innocent
+concurrent job at the pass boundary).
 """
 
 import sys
@@ -16,11 +19,20 @@ from bench import _PassWatchdog  # noqa: E402
 class _StubSpark:
     def __init__(self):
         self.cancels = 0
+        self.groups_set: list = []
+        self.groups_cancelled: list = []
         outer = self
 
         class _SC:
-            def cancelAllJobs(self):
+            def setJobGroup(self, group, desc, interruptOnCancel=False):
+                outer.groups_set.append((group, interruptOnCancel))
+
+            def cancelJobGroup(self, group):
                 outer.cancels += 1
+                outer.groups_cancelled.append(group)
+
+            def clearJobGroup(self):
+                pass
 
         self.sparkContext = _SC()
 
@@ -47,6 +59,10 @@ def test_wedged_pass_is_cancelled_and_swallowed():
     assert wd.run("wedge", wedged) is False
     assert spark.cancels == 1
     assert wd.cancelled == ["wedge"]
+    # the cancellation hit exactly the group this pass ran under, with
+    # thread interruption (the wedge is a blocked socket read)
+    assert spark.groups_cancelled == [spark.groups_set[-1][0]]
+    assert spark.groups_set[-1][1] is True
 
 
 def test_real_error_before_limit_propagates():

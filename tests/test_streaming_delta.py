@@ -224,3 +224,22 @@ def test_merged_snapshot_log_wins_per_key(spark):
         for r in _merged_snapshot(base, log2).collect()
     }
     assert got2[("c2", 0)] == "log-upd" and len(got2) == 3
+
+
+def test_merged_snapshot_dirty_same_batch_tie_is_deterministic(spark):
+    """r6 (ADVICE): two rows in the SAME log batch sharing a key is
+    out-of-contract input, but the survivor must still be deterministic
+    (crash-replay idempotence for dirty inputs): the tie breaks on the
+    remaining columns, so repeated merges pick the same row."""
+    from podcast_audio_feature_extraction_spark.streaming.delta import _merged_snapshot
+
+    base = spark.createDataFrame([], "conv_id string, turn_idx int, text string")
+    log = spark.createDataFrame(
+        [("c1", 0, "zebra", 0), ("c1", 0, "aardvark", 0)],
+        "conv_id string, turn_idx int, text string, batch int",
+    )
+    winners = {
+        _merged_snapshot(base, log).collect()[0]["text"]
+        for _ in range(3)
+    }
+    assert winners == {"aardvark"}  # ascending struct order, stable across runs
