@@ -120,7 +120,11 @@ class _PassWatchdog:
             raise
         finally:
             done.set()
-            sc.clearJobGroup()
+            # PySpark has no clearJobGroup; removing the thread-local
+            # properties is the documented equivalent
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
             # block until a concurrently-firing timer has finished its
             # cancel (it holds the lock), so the next pass starts clean
             with self._lock:

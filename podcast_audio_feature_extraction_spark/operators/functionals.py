@@ -181,23 +181,22 @@ def _exact_pct_col(sorted_col, q):
     )
 
 
-def _exact_pcts_col(sorted_col, qs: list[float]):
-    """All requested percentile points of one pre-sorted array as ONE
-    small expression: ``transform(array(q...), q -> interpolate(arr, q))``.
-
-    Why a higher-order function and not one :func:`_exact_pct_col` tree
-    per point: the per-point trees repeat the size/floor/get subtrees ~8x
-    each, and on the 88-column grid the resulting whole-stage-codegen
-    method exceeded the JVM's 64 KB bytecode limit — codegen failed
-    ("Code grows beyond 64 KB", observed in the round-6 oracle run) and
-    the ENTIRE post-aggregation stage silently fell back to interpreted
-    expression evaluation (~3s of the row). The transform form is one
-    expression node per descriptor, so the stage compiles; the lambda
-    body is the IDENTICAL arithmetic (bit-parity preserved)."""
-    return F.transform(
-        F.array(*[F.lit(q) for q in qs]),
-        lambda q: _exact_pct_col(sorted_col, q),
-    )
+# NOTE (r6 measurement): two alternative percentile-readout packagings
+# were built and A/B'd at the full 88-column grid, interleaved in one
+# session, and BOTH lost to the plain per-point trees above:
+# (a) transform(array(q...), q -> interpolate) — one small expression per
+#     descriptor; it removes the 64 KB whole-stage-codegen failure the
+#     per-point trees trigger at 88 columns (janino "Code grows beyond
+#     64 KB" -> interpreted fallback), but higher-order functions are
+#     CodegenFallback, and their per-element interpreted evaluation cost
+#     more than the fallback it avoided (8.0-8.5 s vs 5.8-6.8 s);
+# (b) ONE collect_list(struct(8 descriptors)) buffer sliced per
+#     descriptor at read time — cheaper aggregation state, but the big
+#     struct array is re-copied through every post-aggregation
+#     projection and the slicing transforms are again CodegenFallback
+#     (another +0.5-0.9 s on top of (a)).
+# The surviving optimization is the raw-row pre-shuffle below; the
+# readout stays in the round-start form on measured evidence.
 
 
 def functional_grid(
@@ -283,36 +282,7 @@ def functional_grid(
         pcts_wanted += [s for s in ("p20", "p80") if s not in pcts_wanted]
     aggs = [F.count(F.lit(1)).alias("n")]
     post: dict[str, object] = {}
-    sort_cols: dict[str, object] = {}
-    pct_arr_cols: dict[str, object] = {}
     x = F.col("__x")
-    if pcts_wanted and approx_pct_accuracy is None:
-        # exact mode: ONE typed buffer for ALL descriptors — collect the
-        # row's descriptor tuple once, slice per-descriptor value arrays
-        # out at read time (transform + null-filter reproduces each
-        # collect_list(c) multiset exactly: struct rows are never null,
-        # so null descriptor values surface as null elements and are
-        # filtered, matching collect_list's null-skipping). Eight
-        # independent collect_list buffers were the grid's dominant cost
-        # (per-group allocate/serialize/merge of 8 typed buffers at
-        # ~1-row group cardinality — measured 5.5 s of the 6 s row);
-        # one struct buffer amortizes that machinery 8x and the
-        # per-element slicing is a codegen-side array pass.
-        aggs.append(
-            F.collect_list(F.struct(*[F.col(c).alias(c) for c in val_cols])).alias("__rows")
-        )
-        def _slice(col_name: str):
-            # factory, NOT a default-arg lambda: a 2-arg lambda would be
-            # bound as (element, index) by the higher-order function
-            return F.transform(F.col("__rows"), lambda s: s[col_name])
-
-        for c in val_cols:
-            sort_cols[f"__{c}_sorted"] = F.sort_array(
-                F.filter(_slice(c), lambda e: e.isNotNull())
-            )
-            pct_arr_cols[f"__{c}_pcts"] = _exact_pcts_col(
-                f"__{c}_sorted", [_GRID_PCTS[s] for s in pcts_wanted]
-            )
     for c in val_cols:
         v = F.col(c)
         mean = F.avg(v)
@@ -329,22 +299,22 @@ def functional_grid(
             aggs.append(F.max(v).alias(f"{c}_max"))
         if pcts_wanted:
             if approx_pct_accuracy is None:
-                # exact mode: the shared struct buffer above serves every
-                # descriptor; the per-descriptor sorted array is a
-                # read-time slice, and all of its percentile points come
-                # from ONE _exact_pcts_col transform (hoisted to a real
-                # column) — see that function's docstring for why the
-                # per-point expression trees were a codegen breaker. The
-                # interpolation reproduces Spark's Percentile.getPercentile
-                # BIT-EXACTLY (lower*(1-frac) + higher*frac, and lower
-                # returned DIRECTLY when lower==higher — the naive
-                # lov+(hiv-lov)*frac and even the blend form diverge in the
-                # last ulp on duplicates), so DuckDB quantile_cont parity
-                # is unchanged; pinned by
-                # test_exact_pct_matches_builtin_percentile.
-                pctv = {
-                    s: F.col(f"__{c}_pcts")[pcts_wanted.index(s)] for s in pcts_wanted
-                }
+                # exact mode: ONE sorted-array buffer per descriptor
+                # (sort_array(collect_list)) + interpolation at read time —
+                # measured ~30% faster than F.percentile's per-group
+                # value->count OpenHashMap at the same memory class
+                # (primitive array append + one terminal sort beats hash
+                # upserts on mostly-unique doubles). The interpolation
+                # reproduces Spark's Percentile.getPercentile BIT-EXACTLY
+                # (lower*(1-frac) + higher*frac, and lower returned
+                # DIRECTLY when lower==higher — the naive lov+(hiv-lov)*frac
+                # and even the blend form diverge in the last ulp on
+                # duplicates), so DuckDB quantile_cont parity is unchanged;
+                # pinned by test_exact_pct_matches_builtin_percentile.
+                # (See the r6 measurement note beside _exact_pct_col for
+                # the two rejected readout repackagings.)
+                aggs.append(F.sort_array(F.collect_list(v)).alias(f"__{c}_sorted"))
+                pctv = {s: _exact_pct_col(f"__{c}_sorted", _GRID_PCTS[s]) for s in pcts_wanted}
                 for s in pcts_wanted:
                     if s in stats:
                         post[f"{c}_{s}"] = _r(pctv[s]) + F.lit(0.0)
@@ -405,13 +375,6 @@ def functional_grid(
                     ).alias(f"{c}_kurt")
                 )
     out = expanded.groupBy(conv_col, "__ws_s").agg(*aggs)
-    if sort_cols:
-        # hoist each sorted slice, then its percentile-point array, to
-        # real columns in their own projections: each is referenced
-        # multiple times downstream, and CollapseProject would otherwise
-        # inline the transform+filter+sort once per reference
-        out = out.withColumns(sort_cols)
-        out = out.withColumns(pct_arr_cols)
     if post:
         out = out.withColumns(post)
     return out.select(

@@ -666,8 +666,14 @@ def ivf_pq_topk(
     m_sub, k_codes, sub = books.shape
     cent = np.asarray(centroids, dtype=np.float64)
     # fused assignment+encode: one Arrow crossing of the corpus vectors
-    # instead of two dependent UDFs (see _assign_encode_udf)
-    fused = _assign_encode_udf(cent, books, residual)
+    # instead of two dependent UDFs (see _assign_encode_udf).
+    # asNondeterministic: extracting two fields from the struct result
+    # otherwise makes the optimizer INLINE the UDF once per field — two
+    # ArrowEvalPython nodes evaluating the same function (guide §4.4's
+    # duplication; observed in the r6 plan). The function is in fact
+    # deterministic; the flag only forbids the optimizer to duplicate or
+    # reorder it.
+    fused = _assign_encode_udf(cent, books, residual).asNondeterministic()
     corpus = emb.select(F.col(id_col), fused(F.col(vec_col)).alias("__ae")).select(
         id_col,
         F.col("__ae.centroid_id").alias("centroid_id"),

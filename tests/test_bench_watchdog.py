@@ -31,7 +31,7 @@ class _StubSpark:
                 outer.cancels += 1
                 outer.groups_cancelled.append(group)
 
-            def clearJobGroup(self):
+            def setLocalProperty(self, key, value):
                 pass
 
         self.sparkContext = _SC()
