@@ -58,18 +58,22 @@ def turn_features(
     ).withColumn("__token_cnt_d", F.col("token_cnt").cast("double"))
 
     # stage 1: ONE window pass for all lag/lead context, plus the
-    # conversation's first ts (whole-partition frame) so the rolling
-    # slope's time axis is conversation-relative seconds — subtracting in
-    # integer micros BEFORE the double division keeps it exact (an
-    # epoch-scale double subtraction loses ~1e-7 s, which the slope
-    # amplifies when turns cluster tightly)
-    whole = Window.partitionBy(conv_col)
+    # conversation's first ts so the rolling slope's time axis is
+    # conversation-relative seconds — subtracting in integer micros
+    # BEFORE the double division keeps it exact (an epoch-scale double
+    # subtraction loses ~1e-7 s, which the slope amplifies when turns
+    # cluster tightly). first-over-running-frame, NOT min-over-whole-
+    # partition: the (ts, turn_idx) order makes them value-identical
+    # (verified), but the whole-partition frame is a DIFFERENT window
+    # spec and planned its own Window operator — one extra full pass
+    # over every sorted partition (r6; plan: 3 Window ops -> 2 here).
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ctx = base.select(
         "*",
         F.lag("role").over(order).alias("prev_role"),
         F.lead("role").over(order).alias("next_role"),
         F.lag(ts_micros(ts_col)).over(order).alias("__prev_us"),
-        F.min(ts_micros(ts_col)).over(whole).alias("__conv_t0_us"),
+        F.first(ts_micros(ts_col)).over(run).alias("__conv_t0_us"),
     ).select(
         "*",
         F.when(F.col("prev_role").isNull(), F.lit(1))
